@@ -1,0 +1,213 @@
+"""Split text/fusion BERT encoder, TPU-native.
+
+Re-designed from the reference's forked HF BERT (`/root/reference/src/modeling/
+xbert.py`): a single 12-layer encoder split by ``fusion_layer`` (=6 in
+`config_release/base_model.json:17`) —
+
+  * mode='text'        runs layers [0, fusion_layer) on token embeddings;
+  * mode='fusion'      runs layers [fusion_layer, num_layers) on pre-computed
+                       ``encoder_embeds`` = concat[text_embeds, video_embeds]
+                       (`xbert.py:549-559,948-1053`);
+  * mode='multi_modal' runs all layers.
+
+Fusion is pure self-attention over the concatenated sequence: the reference
+hardcodes ``has_cross_attention=False`` (`xbert.py:450`), so no cross-attention
+machinery exists here at all. Masking uses the HF additive constant -10000
+(`xbert.py:878-938`) so converted checkpoints reproduce numerics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from alpro_tpu.ops.attention import multi_head_attention
+from alpro_tpu.ops.layers import LayerNorm, gelu_exact
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    layer_norm_eps: float = 1e-12
+    pad_token_id: int = 0
+    fusion_layer: int = 6
+    initializer_range: float = 0.02
+    attn_impl: str = "auto"
+
+    @classmethod
+    def from_json_dict(cls, d: dict) -> "BertConfig":
+        keys = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in keys})
+
+
+class BertEmbeddings(nn.Module):
+    cfg: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray, deterministic: bool = True):
+        cfg = self.cfg
+        B, L = input_ids.shape
+        init = nn.initializers.normal(cfg.initializer_range)
+        word = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, embedding_init=init,
+            dtype=self.dtype, name="word_embeddings",
+        )(input_ids)
+        pos_ids = jnp.arange(L)[None, :]
+        pos = nn.Embed(
+            cfg.max_position_embeddings, cfg.hidden_size, embedding_init=init,
+            dtype=self.dtype, name="position_embeddings",
+        )(pos_ids)
+        tok_type = nn.Embed(
+            cfg.type_vocab_size, cfg.hidden_size, embedding_init=init,
+            dtype=self.dtype, name="token_type_embeddings",
+        )(jnp.zeros_like(input_ids))
+        x = word + pos + tok_type
+        x = LayerNorm(cfg.layer_norm_eps, dtype=self.dtype, name="LayerNorm")(x)
+        x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
+        return x
+
+
+class BertSelfAttention(nn.Module):
+    cfg: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attention_mask, deterministic: bool = True):
+        cfg = self.cfg
+        B, L, D = x.shape
+        H = cfg.num_attention_heads
+        hd = D // H
+
+        def split_heads(t):
+            return jnp.moveaxis(t.reshape(B, L, H, hd), 1, 2)
+
+        q = split_heads(nn.Dense(D, dtype=self.dtype, name="query")(x))
+        k = split_heads(nn.Dense(D, dtype=self.dtype, name="key")(x))
+        v = split_heads(nn.Dense(D, dtype=self.dtype, name="value")(x))
+        use_drop = (
+            cfg.attention_probs_dropout_prob > 0.0 and not deterministic
+        )
+        out = multi_head_attention(
+            q, k, v,
+            key_mask=attention_mask,
+            impl=cfg.attn_impl,
+            dropout_rate=cfg.attention_probs_dropout_prob,
+            dropout_rng=self.make_rng("dropout") if use_drop else None,
+            deterministic=deterministic,
+        )
+        return jnp.moveaxis(out, 1, 2).reshape(B, L, D)
+
+
+class BertLayer(nn.Module):
+    cfg: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attention_mask, deterministic: bool = True):
+        cfg = self.cfg
+        attn_out = BertSelfAttention(cfg, dtype=self.dtype, name="attention")(
+            x, attention_mask, deterministic
+        )
+        attn_out = nn.Dense(
+            cfg.hidden_size, dtype=self.dtype, name="attention_output"
+        )(attn_out)
+        attn_out = nn.Dropout(cfg.hidden_dropout_prob)(
+            attn_out, deterministic=deterministic
+        )
+        x = LayerNorm(
+            cfg.layer_norm_eps, dtype=self.dtype, name="attention_layernorm"
+        )(attn_out + x)
+
+        inter = nn.Dense(
+            cfg.intermediate_size, dtype=self.dtype, name="intermediate"
+        )(x)
+        inter = gelu_exact(inter)
+        out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(inter)
+        out = nn.Dropout(cfg.hidden_dropout_prob)(
+            out, deterministic=deterministic
+        )
+        x = LayerNorm(
+            cfg.layer_norm_eps, dtype=self.dtype, name="output_layernorm"
+        )(out + x)
+        return x
+
+
+class BertModel(nn.Module):
+    """Mode-routed encoder. For mode='fusion', pass ``encoder_embeds``."""
+
+    cfg: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.embeddings = BertEmbeddings(self.cfg, dtype=self.dtype)
+        self.layers = [
+            BertLayer(self.cfg, dtype=self.dtype, name=f"layer_{i}")
+            for i in range(self.cfg.num_hidden_layers)
+        ]
+
+    def __call__(
+        self,
+        input_ids: Optional[jnp.ndarray] = None,
+        attention_mask: Optional[jnp.ndarray] = None,
+        encoder_embeds: Optional[jnp.ndarray] = None,
+        mode: str = "multi_modal",
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        if mode == "text":
+            lo, hi = 0, self.cfg.fusion_layer
+        elif mode == "fusion":
+            lo, hi = self.cfg.fusion_layer, self.cfg.num_hidden_layers
+        elif mode == "multi_modal":
+            lo, hi = 0, self.cfg.num_hidden_layers
+        else:
+            raise ValueError(f"invalid mode {mode!r}")
+
+        if encoder_embeds is None:
+            assert input_ids is not None, "input_ids required without encoder_embeds"
+            x = self.embeddings(input_ids, deterministic=deterministic)
+        else:
+            x = encoder_embeds.astype(self.dtype)
+
+        if attention_mask is None:
+            attention_mask = jnp.ones(x.shape[:2], dtype=jnp.int32)
+
+        for i in range(lo, hi):
+            x = self.layers[i](x, attention_mask, deterministic)
+        return x
+
+
+class BertMLMHead(nn.Module):
+    """cls.predictions head: transform (dense+gelu+LN) then vocab decoder.
+
+    The decoder weight is stored separately (converted checkpoints carry the
+    tied tensor explicitly, `xbert.py` BertLMPredictionHead).
+    """
+
+    cfg: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="transform_dense")(
+            hidden
+        )
+        x = gelu_exact(x)
+        x = LayerNorm(
+            cfg.layer_norm_eps, dtype=self.dtype, name="transform_layernorm"
+        )(x)
+        logits = nn.Dense(cfg.vocab_size, dtype=self.dtype, name="decoder")(x)
+        return logits

@@ -1,0 +1,89 @@
+"""Shared NN building blocks (LayerNorm, MLP, DropPath) for the encoders.
+
+Numerics notes for checkpoint parity with the torch reference:
+  * GELU is the exact erf form (torch `nn.GELU()` / HF "gelu"), not the tanh
+    approximation that flax defaults to.
+  * LayerNorm statistics are computed in fp32 regardless of compute dtype
+    (the MXU path runs bf16; LN in bf16 loses too much precision).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.gelu(x, approximate=False)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics and configurable output dtype."""
+
+    epsilon: float = 1e-12
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim = x.shape[-1]
+        scale = self.param(
+            "scale", nn.initializers.ones, (dim,), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (dim,), self.param_dtype
+        )
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+class Mlp(nn.Module):
+    """fc1 → GELU → drop → fc2 → drop (reference `timesformer/vit.py:49-65`)."""
+
+    hidden_dim: int
+    out_dim: Optional[int] = None
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        out_dim = self.out_dim or x.shape[-1]
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = gelu_exact(x)
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        x = nn.Dense(out_dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        return x
+
+
+def drop_path_mask(
+    rng: jax.Array, rate: float, batch_size: int, ndim: int
+) -> jnp.ndarray:
+    """Per-sample stochastic-depth keep mask, pre-scaled by 1/keep_prob.
+
+    Reference semantics: `timesformer/vit_utils.py` DropPath — keep mask of
+    shape (B, 1, ..., 1), output = x * mask / keep_prob.
+    """
+    keep_prob = 1.0 - rate
+    shape = (batch_size,) + (1,) * (ndim - 1)
+    keep = jax.random.bernoulli(rng, keep_prob, shape)
+    return keep.astype(jnp.float32) / keep_prob
+
+
+def apply_drop_path(
+    x: jnp.ndarray,
+    rate: float,
+    deterministic: bool,
+    rng: Optional[jax.Array],
+) -> jnp.ndarray:
+    if deterministic or rate == 0.0:
+        return x
+    mask = drop_path_mask(rng, rate, x.shape[0], x.ndim)
+    return x * mask.astype(x.dtype)
