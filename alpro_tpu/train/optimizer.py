@@ -1,0 +1,128 @@
+"""Optimizer + LR schedules (optax), matching the reference semantics.
+
+Reference: HF-style AdamW with betas from config and eps 1e-6
+(`/root/reference/src/optimization/adamw.py`, `optimization/utils.py:5-14`) —
+note `setup_e2e_optimizer` never forwards `weight_decay`, so the reference
+effectively trains with wd=0 regardless of the config value; we default to the
+same behaviour (`apply_weight_decay=False`) with a correct masked-wd option
+(no decay on biases / LayerNorm / embeddings) for those who want the config
+honoured.
+
+Schedules: warmup+linear decay / noam invsqrt / multi-step / constant,
+numerically identical to `src/optimization/sched.py:8-47` including the 1e-8
+floor safeguard.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+# ---- schedules (value = multiplier * base_lr, evaluated per step) ---------
+def warmup_linear(step, warmup_step, tot_step):
+    warm = step / jnp.maximum(warmup_step, 1)
+    lin = jnp.maximum(0.0, (tot_step - step) / jnp.maximum(tot_step - warmup_step, 1))
+    return jnp.where(step < warmup_step, warm, lin)
+
+
+def noam_schedule(step, warmup_step=4000):
+    warm = step / jnp.maximum(warmup_step, 1)
+    decay = (warmup_step ** 0.5) * jnp.maximum(step, 1) ** -0.5
+    return jnp.where(step <= warmup_step, warm, decay)
+
+
+def multi_step_schedule(n_epoch, milestones: Sequence[int], gamma=0.5):
+    milestones = sorted(milestones)
+    out = gamma ** (len(milestones) + 1)
+    for i, m in enumerate(milestones):
+        if n_epoch < m:
+            return gamma ** i
+    return out
+
+
+def get_lr_schedule(
+    decay: str,
+    learning_rate: float,
+    num_train_steps: int,
+    warmup_ratio: float = 0.1,
+    decay_epochs: Sequence[int] = (),
+    multi_step_epoch: int = -1,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    warmup_steps = int(warmup_ratio * num_train_steps)
+
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        if decay == "linear":
+            lr = learning_rate * warmup_linear(step, warmup_steps, num_train_steps)
+        elif decay == "invsqrt":
+            lr = learning_rate * noam_schedule(step, warmup_steps)
+        elif decay == "constant":
+            lr = jnp.asarray(learning_rate, jnp.float32)
+        elif decay == "multi_step":
+            assert multi_step_epoch >= 0
+            lr = jnp.asarray(
+                learning_rate * multi_step_schedule(multi_step_epoch, decay_epochs),
+                jnp.float32,
+            )
+        else:
+            raise ValueError(f"unknown decay {decay!r}")
+        # reference safeguard: never emit lr <= 0 (`sched.py:44-46`)
+        return jnp.maximum(lr, 1e-8)
+
+    return sched
+
+
+# ---- param projections ----------------------------------------------------
+def project_temp(params, lo: float = 0.001, hi: float = 0.5):
+    """In-place clamp of the contrastive temperature after each update,
+    mirroring `self.temp.clamp_(0.001, 0.5)` (`alpro_models.py:80-81`)."""
+    if "temp" in params:
+        params = dict(params)
+        params["temp"] = jnp.clip(params["temp"], lo, hi)
+    return params
+
+
+def _wd_mask(params) -> dict:
+    """True where weight decay applies: 2D+ kernels/embeddings only — never
+    biases, LayerNorm scales, cls/pos/time tokens, or the temperature."""
+
+    def mask_leaf(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        joined = "/".join(str(n) for n in names)
+        if any(
+            k in joined
+            for k in ("bias", "scale", "temp", "cls_token", "pos_embed", "time_embed")
+        ):
+            return False
+        return jnp.ndim(leaf) >= 2
+
+    return jax.tree_util.tree_map_with_path(mask_leaf, params)
+
+
+def build_optimizer(
+    learning_rate_schedule: Callable,
+    betas=(0.9, 0.98),
+    eps: float = 1e-6,
+    weight_decay: float = 0.0,
+    apply_weight_decay: bool = False,
+    grad_norm: Optional[float] = None,
+) -> optax.GradientTransformation:
+    txs = []
+    if grad_norm is not None and grad_norm > 0:
+        txs.append(optax.clip_by_global_norm(grad_norm))
+    wd = weight_decay if apply_weight_decay else 0.0
+    txs.append(
+        optax.adamw(
+            learning_rate=learning_rate_schedule,
+            b1=betas[0],
+            b2=betas[1],
+            eps=eps,
+            weight_decay=wd,
+            mask=_wd_mask if wd > 0 else None,
+        )
+    )
+    return optax.chain(*txs)

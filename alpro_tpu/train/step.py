@@ -1,0 +1,382 @@
+"""jit/pjit-compiled train + inference step builders for the four tasks.
+
+Replaces the reference hot loops (`/root/reference/src/tasks/run_video_retrieval.py:402-500`,
+`src/tasks/run_video_qa.py`, `src/pretrain/run_pretrain_sparse.py:532-666`,
+`src/pretrain/run_pretrain_contrastive_only.py`) with pure step functions:
+
+  step(state, batch, rng) -> (state, metrics)
+
+Distribution model: `shard_step` jits a step over a Mesh with parameters
+replicated and the batch sharded on `dp`. The VTC similarity matrix and the
+hard-negative gathers are written as global math — GSPMD lowers them to
+all_gathers over ICI; gradients allreduce via the psum GSPMD inserts. No
+collective appears in this file (SURVEY.md §2.9 mapping).
+
+Every loss keeps the reference's composition: retrieval = VTC + VTM
+(`alpro_models.py:733-798`); QA = CE (`alpro_models.py:647-688`); pretrain =
+VTC + VTM + MLM + MPM under use_* flags (`run_pretrain_sparse.py:534-557`);
+prompter = VTC only (`run_pretrain_contrastive_only.py:225-255`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from alpro_tpu.models.alpro import AlproModel
+from alpro_tpu.objectives.mlm import mlm_loss
+from alpro_tpu.objectives.pem import masked_patch_mean, mpm_loss, pseudo_labels_from_feats
+from alpro_tpu.objectives.vtc import vtc_loss
+from alpro_tpu.objectives.vtm import sample_hard_negatives, vtm_loss_from_logits
+from alpro_tpu.train.optimizer import project_temp
+from alpro_tpu.train.state import TrainState
+
+
+def _train_rngs(rng: jax.Array) -> Dict[str, jax.Array]:
+    d, p = jax.random.split(rng)
+    return {"dropout": d, "droppath": p}
+
+
+def _alignment_forward(
+    model: AlproModel, variables, batch, rng, train: bool
+) -> Dict[str, jnp.ndarray]:
+    """Shared VTC+VTM forward used by retrieval and pretrain."""
+    rngs = _train_rngs(jax.random.fold_in(rng, 0)) if train else None
+    det = not train
+    video_embeds = model.apply(
+        variables, batch["visual_inputs"], det, method=model.embed_video,
+        rngs=rngs,
+    )
+    rngs2 = _train_rngs(jax.random.fold_in(rng, 1)) if train else None
+    text_embeds = model.apply(
+        variables, batch["text_input_ids"], batch["text_input_mask"], det,
+        method=model.embed_text, rngs=rngs2,
+    )
+    vfeat = model.apply(variables, video_embeds, method=model.video_feat)
+    tfeat = model.apply(variables, text_embeds, method=model.text_feat)
+    temp = model.apply(variables, method=model.temperature)
+    return dict(
+        video_embeds=video_embeds, text_embeds=text_embeds,
+        video_feat=vfeat, text_feat=tfeat, temp=temp,
+    )
+
+
+def _vtm_forward(
+    model: AlproModel,
+    variables,
+    batch,
+    fwd,
+    sim_v2t,
+    sim_t2v,
+    rng,
+    train: bool,
+    num_local_blocks: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hard-negative VTM. Returns (vtm_loss, fusion_pos_hidden)."""
+    text_embeds, video_embeds = fwd["text_embeds"], fwd["video_embeds"]
+    text_mask = batch["text_input_mask"]
+
+    neg_text_idx, neg_video_idx = sample_hard_negatives(
+        jax.random.fold_in(rng, 2),
+        jax.lax.stop_gradient(sim_v2t),
+        jax.lax.stop_gradient(sim_t2v),
+        num_local_blocks=num_local_blocks,
+    )
+
+    rngs = _train_rngs(jax.random.fold_in(rng, 3)) if train else None
+    fusion_pos = model.apply(
+        variables, text_embeds, text_mask, video_embeds, None, not train,
+        method=model.fuse, rngs=rngs,
+    )
+
+    # negatives: (text_i, video[neg_video_idx_i]) and (text[neg_text_idx_i], video_i)
+    text_all = jnp.concatenate(
+        [text_embeds, jnp.take(text_embeds, neg_text_idx, axis=0)], axis=0
+    )
+    mask_all = jnp.concatenate(
+        [text_mask, jnp.take(text_mask, neg_text_idx, axis=0)], axis=0
+    )
+    video_all = jnp.concatenate(
+        [jnp.take(video_embeds, neg_video_idx, axis=0), video_embeds], axis=0
+    )
+    rngs = _train_rngs(jax.random.fold_in(rng, 4)) if train else None
+    fusion_neg = model.apply(
+        variables, text_all, mask_all, video_all, None, not train,
+        method=model.fuse, rngs=rngs,
+    )
+    pos_logits = model.apply(
+        variables, fusion_pos[:, 0, :], method=model.itm_logits
+    )
+    neg_logits = model.apply(
+        variables, fusion_neg[:, 0, :], method=model.itm_logits
+    )
+    loss, _, _ = vtm_loss_from_logits(pos_logits, neg_logits)
+    return loss, fusion_pos
+
+
+def _apply_updates(state: TrainState, grads, tx) -> TrainState:
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_params = dict(new_params)
+    new_params["params"] = project_temp(dict(new_params["params"]))
+    return TrainState(
+        step=state.step + 1, params=new_params, opt_state=new_opt_state
+    )
+
+
+# --------------------------------------------------------------------------
+# retrieval
+# --------------------------------------------------------------------------
+def make_retrieval_train_step(
+    model: AlproModel,
+    tx: optax.GradientTransformation,
+    num_local_blocks: int = 1,
+) -> Callable:
+    def loss_fn(params, batch, rng):
+        fwd = _alignment_forward(model, params, batch, rng, train=True)
+        vtc, sim_v2t, sim_t2v = vtc_loss(
+            fwd["video_feat"], fwd["text_feat"], fwd["temp"]
+        )
+        vtm, _ = _vtm_forward(
+            model, params, batch, fwd, sim_v2t, sim_t2v, rng,
+            train=True, num_local_blocks=num_local_blocks,
+        )
+        loss = vtc + vtm
+        return loss, {"loss": loss, "vtc_loss": vtc, "vtm_loss": vtm}
+
+    def step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        return _apply_updates(state, grads, tx), metrics
+
+    return step
+
+
+def make_retrieval_inference_fn(model: AlproModel) -> Callable:
+    """1 video vs N texts (`alpro_models.py:874-914`): returns VTC sims
+    (1, N) and per-pair VTM logits (N, 2)."""
+
+    def infer(params, batch):
+        video_embeds = model.apply(
+            params, batch["visual_inputs"], method=model.embed_video
+        )
+        text_embeds = model.apply(
+            params, batch["text_input_ids"], batch["text_input_mask"],
+            method=model.embed_text,
+        )
+        vfeat = model.apply(params, video_embeds, method=model.video_feat)
+        tfeat = model.apply(params, text_embeds, method=model.text_feat)
+        temp = model.apply(params, method=model.temperature)
+        itc_scores = vfeat @ tfeat.T / temp
+
+        n_text = text_embeds.shape[0]
+        video_rep = jnp.broadcast_to(
+            video_embeds, (n_text,) + video_embeds.shape[1:]
+        )
+        fusion = model.apply(
+            params, text_embeds, batch["text_input_mask"], video_rep,
+            method=model.fuse,
+        )
+        logits = model.apply(params, fusion[:, 0, :], method=model.itm_logits)
+        return {"logits": logits, "itc_scores": itc_scores}
+
+    return infer
+
+
+# --------------------------------------------------------------------------
+# QA classification
+# --------------------------------------------------------------------------
+def make_qa_train_step(model: AlproModel, tx: optax.GradientTransformation) -> Callable:
+    def loss_fn(params, batch, rng):
+        logits = _qa_logits(model, params, batch, rng, train=True)
+        labels = batch["labels"]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        loss = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        return loss, {"loss": loss, "acc": acc}
+
+    def step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        return _apply_updates(state, grads, tx), metrics
+
+    return step
+
+
+def _qa_logits(model, params, batch, rng, train: bool):
+    det = not train
+    rngs = _train_rngs(jax.random.fold_in(rng, 0)) if train else None
+    video_embeds = model.apply(
+        params, batch["visual_inputs"], det, method=model.embed_video, rngs=rngs
+    )
+    rngs = _train_rngs(jax.random.fold_in(rng, 1)) if train else None
+    text_embeds = model.apply(
+        params, batch["text_input_ids"], batch["text_input_mask"], det,
+        method=model.embed_text, rngs=rngs,
+    )
+    rngs = _train_rngs(jax.random.fold_in(rng, 2)) if train else None
+    fusion = model.apply(
+        params, text_embeds, batch["text_input_mask"], video_embeds, None, det,
+        method=model.fuse, rngs=rngs,
+    )
+    return model.apply(params, fusion[:, 0, :], method=model.classify)
+
+
+def make_qa_inference_fn(model: AlproModel) -> Callable:
+    def infer(params, batch):
+        return _qa_logits(model, params, batch, jax.random.PRNGKey(0), train=False)
+
+    return infer
+
+
+# --------------------------------------------------------------------------
+# pretraining (VTC + VTM + MLM + MPM)
+# --------------------------------------------------------------------------
+def make_pretrain_train_step(
+    model: AlproModel,
+    tx: optax.GradientTransformation,
+    use_itc: bool = True,
+    use_itm: bool = True,
+    use_mlm: bool = True,
+    use_mpm: bool = True,
+    num_local_blocks: int = 1,
+    teacher: Optional[AlproModel] = None,
+    mpm_ignore_threshold: float = 0.2,
+) -> Callable:
+    """Step signature: (state, batch, rng, teacher_params, prompt_bank).
+
+    `teacher` + the frozen `teacher_params`/`prompt_bank` implement the
+    Prompter pseudo-labeller (`alpro_models.py:531-551`); pass None/zeros when
+    use_mpm is False.
+    """
+
+    def loss_fn(params, batch, rng, teacher_params, prompt_bank):
+        fwd = _alignment_forward(model, params, batch, rng, train=True)
+        metrics = {}
+        loss = 0.0
+
+        vtc, sim_v2t, sim_t2v = vtc_loss(
+            fwd["video_feat"], fwd["text_feat"], fwd["temp"]
+        )
+        if use_itc:
+            loss = loss + vtc
+            metrics["itc_loss"] = vtc
+
+        fusion_pos = None
+        if use_itm:
+            vtm, fusion_pos = _vtm_forward(
+                model, params, batch, fwd, sim_v2t, sim_t2v, rng,
+                train=True, num_local_blocks=num_local_blocks,
+            )
+            loss = loss + vtm
+            metrics["itm_loss"] = vtm
+
+        if use_mlm:
+            rngs = _train_rngs(jax.random.fold_in(rng, 5))
+            mlm_text = model.apply(
+                params, batch["mlm_text_input_ids"], batch["text_input_mask"],
+                False, method=model.embed_text, rngs=rngs,
+            )
+            rngs = _train_rngs(jax.random.fold_in(rng, 6))
+            mlm_fusion = model.apply(
+                params, mlm_text, batch["text_input_mask"],
+                fwd["video_embeds"], None, False,
+                method=model.fuse, rngs=rngs,
+            )
+            Lt = batch["mlm_text_input_ids"].shape[1]
+            logits = model.apply(
+                params, mlm_fusion[:, :Lt, :], method=model.mlm_logits
+            )
+            mlm = mlm_loss(logits, batch["mlm_labels"])
+            loss = loss + mlm
+            metrics["mlm_loss"] = mlm
+
+        if use_mpm:
+            assert teacher is not None and fusion_pos is not None
+            # frozen teacher pseudo-labels from the erased crop
+            crop_embeds = teacher.apply(
+                teacher_params, batch["crop_visual_inputs"],
+                method=teacher.embed_video,
+            )
+            crop_feat = teacher.apply(
+                teacher_params, crop_embeds, method=teacher.video_feat
+            )
+            t_temp = teacher.apply(teacher_params, method=teacher.temperature)
+            soft, ignore = pseudo_labels_from_feats(
+                jax.lax.stop_gradient(crop_feat), prompt_bank, t_temp,
+                ignore_threshold=mpm_ignore_threshold,
+            )
+            Lt = batch["text_input_ids"].shape[1]
+            mean_embeds = masked_patch_mean(fusion_pos, batch["mpm_mask"], Lt)
+            logits = model.apply(params, mean_embeds, method=model.mpm_logits)
+            mpm = mpm_loss(logits, soft, ignore)
+            loss = loss + mpm
+            metrics["mpm_loss"] = mpm
+
+        metrics["loss"] = loss
+        return loss, metrics
+
+    def step(state: TrainState, batch, rng, teacher_params=None, prompt_bank=None):
+        rng = jax.random.fold_in(rng, state.step)
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, batch, rng, teacher_params, prompt_bank
+        )
+        return _apply_updates(state, grads, tx), metrics
+
+    return step
+
+
+# --------------------------------------------------------------------------
+# prompter (VTC only, `run_pretrain_contrastive_only.py:225-255`)
+# --------------------------------------------------------------------------
+def make_prompter_train_step(
+    model: AlproModel, tx: optax.GradientTransformation
+) -> Callable:
+    def loss_fn(params, batch, rng):
+        fwd = _alignment_forward(model, params, batch, rng, train=True)
+        vtc, sim_v2t, sim_t2v = vtc_loss(
+            fwd["video_feat"], fwd["text_feat"], fwd["temp"]
+        )
+        B = sim_v2t.shape[0]
+        labels = jnp.arange(B)
+        i2t_acc = jnp.mean((jnp.argmax(sim_v2t, -1) == labels).astype(jnp.float32))
+        t2i_acc = jnp.mean((jnp.argmax(sim_t2v, -1) == labels).astype(jnp.float32))
+        return vtc, {"loss": vtc, "i2t_acc": i2t_acc, "t2i_acc": t2i_acc}
+
+    def step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        return _apply_updates(state, grads, tx), metrics
+
+    return step
+
+
+# --------------------------------------------------------------------------
+# sharding
+# --------------------------------------------------------------------------
+def shard_step(step_fn: Callable, mesh: Mesh, donate_state: bool = True) -> Callable:
+    """jit a step over the mesh: state/rng replicated, batch dp-sharded."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("dp"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, repl),
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+
+def shard_inference(fn: Callable, mesh: Mesh, shard_batch_arg: bool = True) -> Callable:
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("dp")) if shard_batch_arg else repl
+    return jax.jit(fn, in_shardings=(repl, data))

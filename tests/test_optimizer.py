@@ -1,0 +1,52 @@
+"""LR schedule parity with the reference formulas (`src/optimization/sched.py`)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from alpro_tpu.train import (
+    get_lr_schedule,
+    multi_step_schedule,
+)
+
+
+def ref_warmup_linear(step, warmup_step, tot_step):
+    if step < warmup_step:
+        return step / warmup_step
+    return max(0, (tot_step - step) / (tot_step - warmup_step))
+
+
+def ref_noam(step, warmup_step):
+    if step <= warmup_step:
+        return step / warmup_step
+    return (warmup_step ** 0.5) * (step ** -0.5)
+
+
+def test_linear_schedule_matches_reference():
+    lr, total, ratio = 2.5e-5, 1000, 0.1
+    sched = get_lr_schedule("linear", lr, total, warmup_ratio=ratio)
+    warmup = int(ratio * total)
+    for step in [0, 1, 50, 99, 100, 101, 500, 999, 1000, 1100]:
+        want = max(lr * ref_warmup_linear(step, warmup, total), 1e-8)
+        np.testing.assert_allclose(float(sched(step)), want, rtol=1e-6)
+
+
+def test_invsqrt_schedule_matches_reference():
+    lr, total, ratio = 1e-4, 10000, 0.05
+    sched = get_lr_schedule("invsqrt", lr, total, warmup_ratio=ratio)
+    warmup = int(ratio * total)
+    for step in [1, 100, 499, 500, 501, 5000, 20000]:
+        want = max(lr * ref_noam(step, warmup), 1e-8)
+        np.testing.assert_allclose(float(sched(step)), want, rtol=1e-5)
+
+
+def test_constant_schedule():
+    sched = get_lr_schedule("constant", 3e-4, 100)
+    assert float(sched(0)) == float(sched(99))
+    np.testing.assert_allclose(float(sched(0)), 3e-4, rtol=1e-6)
+
+
+def test_multi_step():
+    assert multi_step_schedule(0, [5, 10]) == 1.0
+    assert multi_step_schedule(5, [5, 10]) == 0.5
+    assert multi_step_schedule(10, [5, 10]) == 0.5 ** 3
+    assert multi_step_schedule(7, [10, 5]) == 0.5  # unsorted input
