@@ -1,0 +1,331 @@
+"""Datasets + collators for retrieval, QA, and pretraining.
+
+Mirrors the reference dataset layer (`/root/reference/src/datasets/`):
+annotation jsonl/json files with {vid_id, txt} rows, decode-with-retry
+fault tolerance (failed decodes resample a random other example,
+`dataset_pretrain_sparse.py:73-114`, `dataset_video_retrieval.py:51-81`),
+grouped eval batching (1 video × all texts,
+`dataset_video_retrieval.py:198-221`), and collators that tokenize + MLM-mask
++ random-erase.
+
+Batches are plain numpy dicts; pixel normalization happens on device inside
+the jitted step (see `alpro_tpu/data/transforms.py`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from alpro_tpu.data.masking import mask_batch_text_tokens, random_erase
+from alpro_tpu.data.sampling import sample_frame_indices  # noqa: F401 (re-export)
+from alpro_tpu.data.transforms import (
+    center_square_crop,
+    random_square_crop,
+    resize_shorter_side,
+)
+from alpro_tpu.media import read_video
+
+
+def load_jsonl(path: str) -> List[dict]:
+    with open(path) as f:
+        return [json.loads(l) for l in f if l.strip()]
+
+
+def load_json(path: str):
+    with open(path) as f:
+        return json.load(f)
+
+
+def _find_video(vid_dir: str, vid_id: str) -> Optional[str]:
+    for ext in (".npy", ".npz", ".mp4", ".webm", ".avi", ".mkv", ""):
+        p = os.path.join(vid_dir, f"{vid_id}{ext}")
+        if os.path.exists(p):
+            return p
+    return None
+
+
+class VideoDatasetBase:
+    """Decode + resize + crop with retry-on-failure resampling."""
+
+    def __init__(
+        self,
+        datalist: List[dict],
+        vid_dir: str,
+        num_frm: int = 8,
+        frm_sampling_strategy: str = "uniform",
+        resize_size: int = 256,
+        crop_size: int = 224,
+        is_train: bool = True,
+        max_retries: int = 5,
+        seed: int = 0,
+        backend=None,
+    ):
+        self.datalist = datalist
+        self.vid_dir = vid_dir
+        self.num_frm = num_frm
+        self.frm_sampling_strategy = frm_sampling_strategy
+        self.resize_size = resize_size
+        self.crop_size = crop_size
+        self.is_train = is_train
+        self.max_retries = max_retries
+        self.rng = np.random.default_rng(seed)
+        self.backend = backend
+
+    def __len__(self) -> int:
+        return len(self.datalist)
+
+    def _load_clip(self, vid_id: str) -> Optional[np.ndarray]:
+        path = _find_video(self.vid_dir, vid_id)
+        if path is None:
+            return None
+        strategy = self.frm_sampling_strategy if self.is_train else "uniform"
+        clip = read_video(
+            path, self.num_frm, strategy, self.rng, backend=self.backend
+        )
+        if clip is None:
+            return None
+        clip = resize_shorter_side(clip, self.resize_size)
+        if self.is_train:
+            clip = random_square_crop(clip, self.crop_size, self.rng)
+        else:
+            clip = center_square_crop(clip, self.crop_size)
+        if clip.shape[0] < self.num_frm:  # short video: pad by repeating last
+            pad = np.repeat(clip[-1:], self.num_frm - clip.shape[0], axis=0)
+            clip = np.concatenate([clip, pad], axis=0)
+        return clip
+
+    def get_with_retry(self, index: int) -> Dict:
+        """Reference fault-tolerance idiom: decode failure → random resample."""
+        for _ in range(self.max_retries):
+            item = self.datalist[index]
+            clip = self._load_clip(item["vid_id"])
+            if clip is not None:
+                return dict(item, clip=clip)
+            index = int(self.rng.integers(0, len(self.datalist)))
+        raise RuntimeError(
+            f"failed to decode any video after {self.max_retries} retries"
+        )
+
+
+class RetrievalDataset(VideoDatasetBase):
+    """Train/val rows: {vid_id, txt}. One caption per example (the reference
+    groups captions per video then samples; flat pairs are equivalent for
+    contrastive training when batches shuffle)."""
+
+    def __getitem__(self, index: int) -> Dict:
+        ex = self.get_with_retry(index)
+        txt = ex["txt"]
+        if isinstance(txt, list):
+            txt = txt[int(self.rng.integers(0, len(txt)))] if self.is_train else txt[0]
+        return {"vid_id": ex["vid_id"], "caption": txt, "clip": ex["clip"]}
+
+
+class RetrievalEvalDataset(VideoDatasetBase):
+    """MSRVTT 1k protocol: every text scored against every video; iterates
+    videos, exposing the full text bank (`dataset_video_retrieval.py:143-221`)."""
+
+    def __init__(self, datalist, vid_dir, **kw):
+        super().__init__(datalist, vid_dir, is_train=False, **kw)
+        self.texts = [
+            {"txt_id": d.get("txt_id", i), "caption": d["txt"], "vid_id": d["vid_id"]}
+            for i, d in enumerate(datalist)
+        ]
+        seen, vids = set(), []
+        for d in datalist:
+            if d["vid_id"] not in seen:
+                seen.add(d["vid_id"])
+                vids.append(d["vid_id"])
+        self.video_ids = vids
+        self.gt_txt_id2vid_id = {t["txt_id"]: t["vid_id"] for t in self.texts}
+
+    def __len__(self) -> int:
+        return len(self.video_ids)
+
+    def get_video(self, index: int) -> Dict:
+        vid_id = self.video_ids[index]
+        clip = self._load_clip(vid_id)
+        if clip is None:
+            raise RuntimeError(f"failed to decode eval video {vid_id}")
+        return {"vid_id": vid_id, "clip": clip}
+
+
+class VideoQADataset(VideoDatasetBase):
+    """Rows: {question_id, question, answer, answer_type, vid_id}."""
+
+    def __init__(self, datalist, vid_dir, ans2label: Dict[str, int],
+                 return_label: bool = True, **kw):
+        super().__init__(datalist, vid_dir, **kw)
+        self.ans2label = ans2label
+        self.label2ans = {v: k for k, v in ans2label.items()}
+        self.return_label = return_label
+        self.qid2data = {
+            d["question_id"]: d for d in datalist
+        }
+
+    def __getitem__(self, index: int) -> Dict:
+        ex = self.get_with_retry(index)
+        out = {
+            "question_id": ex["question_id"],
+            "question": ex["question"],
+            "clip": ex["clip"],
+        }
+        if self.return_label:
+            out["label"] = self.ans2label.get(ex["answer"], 0)
+        return out
+
+    def evaluate_qa(self, results):
+        from alpro_tpu.evals.qa import evaluate_qa
+
+        return evaluate_qa(
+            results, self.qid2data, self.label2ans,
+            task_type=getattr(self, "task_type", "msrvtt_qa"),
+        )
+
+
+class PretrainVideoDataset(VideoDatasetBase):
+    """WebVid-style (video, caption) rows; optionally with MPM erase views."""
+
+    def __getitem__(self, index: int) -> Dict:
+        ex = self.get_with_retry(index)
+        return {
+            "caption": ex["txt"],
+            "clip": ex["clip"],
+            "type": "video",
+        }
+
+
+class PretrainImageDataset:
+    """CC3M-style (image, caption): image repeated to num_frm frames
+    (`dataset_pretrain_sparse.py:125-193`)."""
+
+    def __init__(self, datalist, img_dir, num_frm=4, resize_size=256,
+                 crop_size=224, seed=0, is_train=True):
+        self.datalist = datalist
+        self.img_dir = img_dir
+        self.num_frm = num_frm
+        self.resize_size = resize_size
+        self.crop_size = crop_size
+        self.is_train = is_train
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.datalist)
+
+    def __getitem__(self, index: int) -> Dict:
+        for _ in range(5):
+            item = self.datalist[index]
+            path = _find_video(self.img_dir, item["vid_id"])
+            img = None
+            if path is not None:
+                if path.endswith((".npy", ".npz")):
+                    arr = np.load(path)
+                    img = arr["frames"] if hasattr(arr, "files") else arr
+                    if img.ndim == 4:
+                        img = img[0]
+                else:
+                    try:
+                        from PIL import Image
+
+                        img = np.asarray(Image.open(path).convert("RGB"))
+                    except Exception:
+                        img = None
+            if img is not None:
+                frames = np.repeat(img[None], self.num_frm, axis=0)
+                frames = resize_shorter_side(frames, self.resize_size)
+                if self.is_train:
+                    frames = random_square_crop(frames, self.crop_size, self.rng)
+                else:
+                    frames = center_square_crop(frames, self.crop_size)
+                return {"caption": item["txt"], "clip": frames, "type": "image"}
+            index = int(self.rng.integers(0, len(self.datalist)))
+        raise RuntimeError("failed to load any image")
+
+
+# --------------------------------------------------------------------------
+# collators
+# --------------------------------------------------------------------------
+class RetrievalCollator:
+    def __init__(self, tokenizer, max_txt_len: int = 40):
+        self.tokenizer = tokenizer
+        self.max_txt_len = max_txt_len
+
+    def __call__(self, examples: Sequence[dict]) -> Dict[str, np.ndarray]:
+        enc = self.tokenizer(
+            [e["caption"] for e in examples], max_length=self.max_txt_len,
+        )
+        return {
+            "visual_inputs": np.stack([e["clip"] for e in examples]),
+            "text_input_ids": np.asarray(enc["input_ids"], np.int32),
+            "text_input_mask": np.asarray(enc["attention_mask"], np.int32),
+        }
+
+
+class QACollator:
+    def __init__(self, tokenizer, max_txt_len: int = 40, return_label=True):
+        self.tokenizer = tokenizer
+        self.max_txt_len = max_txt_len
+        self.return_label = return_label
+
+    def __call__(self, examples: Sequence[dict]) -> Dict[str, np.ndarray]:
+        enc = self.tokenizer(
+            [e["question"] for e in examples], max_length=self.max_txt_len,
+        )
+        out = {
+            "visual_inputs": np.stack([e["clip"] for e in examples]),
+            "text_input_ids": np.asarray(enc["input_ids"], np.int32),
+            "text_input_mask": np.asarray(enc["attention_mask"], np.int32),
+            "question_ids": [e["question_id"] for e in examples],
+        }
+        if self.return_label and "label" in examples[0]:
+            out["labels"] = np.asarray([e["label"] for e in examples], np.int32)
+        return out
+
+
+class PretrainCollator:
+    """Tokenize + BERT MLM masking + MPM random-erase views
+    (`dataset_pretrain_sparse.py:214-275`)."""
+
+    def __init__(self, tokenizer, max_txt_len=30, mlm: bool = True,
+                 mpm: bool = True, patch_size: int = 16, seed: int = 0):
+        self.tokenizer = tokenizer
+        self.max_txt_len = max_txt_len
+        self.mlm = mlm
+        self.mpm = mpm
+        self.patch_size = patch_size
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, examples: Sequence[dict]) -> Dict[str, np.ndarray]:
+        enc = self.tokenizer(
+            [e["caption"] for e in examples], max_length=self.max_txt_len,
+        )
+        ids = np.asarray(enc["input_ids"], np.int32)
+        mask = np.asarray(enc["attention_mask"], np.int32)
+        clips = np.stack([e["clip"] for e in examples])
+        batch = {
+            "visual_inputs": clips,
+            "text_input_ids": ids,
+            "text_input_mask": mask,
+            "type": examples[0].get("type", "video"),
+        }
+        if self.mlm:
+            masked_ids, labels = mask_batch_text_tokens(
+                ids, self.tokenizer, rng=self.rng
+            )
+            batch["mlm_text_input_ids"] = masked_ids.astype(np.int32)
+            batch["mlm_labels"] = labels.astype(np.int32)
+        if self.mpm:
+            crops, masks, contexts = [], [], []
+            for clip in clips:
+                c, m, ctx = random_erase(clip, self.patch_size, rng=self.rng)
+                crops.append(c)
+                masks.append(m)
+                contexts.append(ctx)
+            batch["crop_visual_inputs"] = np.stack(crops)
+            batch["mpm_mask"] = np.stack(masks)
+            batch["context_visual_inputs"] = np.stack(contexts)
+        return batch

@@ -1,0 +1,145 @@
+"""Batching, mixing and prefetch.
+
+  * `BatchLoader` — shuffled epoch iteration + collate (the torch-DataLoader
+    role, worker-free since decode runs in the native media lib).
+  * `MetaLoader` — multi-dataset task mixing. The reference draws the task on
+    rank 0 and broadcasts it so ranks stay in lockstep
+    (`/root/reference/src/datasets/dataloader.py:14-62`); here the draw is a
+    seeded deterministic sequence — every host computes the same choice with
+    no collective at all.
+  * `InfiniteIterator` — endless epoch cycling (`dataloader.py:163-176`).
+  * `DevicePrefetcher` — overlaps host→device transfer of the next batch with
+    the current step (the PrefetchLoader/CUDA-stream role,
+    `dataloader.py:86-160`, via jax async dispatch).
+"""
+
+from __future__ import annotations
+
+import itertools
+import threading
+import queue as queue_mod
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+class BatchLoader:
+    def __init__(
+        self,
+        dataset,
+        collator: Callable,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.collator = collator
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._epoch = 0
+        self._seed = seed
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self._seed + self._epoch)
+            rng.shuffle(order)
+        self._epoch += 1
+        end = n - (n % self.batch_size) if self.drop_last else n
+        for start in range(0, end, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            yield self.collator([self.dataset[int(i)] for i in idx])
+
+
+class InfiniteIterator:
+    def __init__(self, loader):
+        self.loader = loader
+        self._it = iter(loader)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        try:
+            return next(self._it)
+        except StopIteration:
+            self._it = iter(self.loader)
+            return next(self._it)
+
+
+class MetaLoader:
+    """Yields (task_name, batch) sampled ∝ loader length × given ratio,
+    deterministically from `seed` (lockstep across hosts by construction)."""
+
+    def __init__(
+        self,
+        loaders: Dict[str, object],
+        accum_steps: int = 1,
+        seed: int = 0,
+        ratios: Optional[Dict[str, float]] = None,
+    ):
+        self.names: List[str] = list(loaders.keys())
+        self.iters = {k: InfiniteIterator(v) for k, v in loaders.items()}
+        weights = np.asarray(
+            [
+                len(loaders[k]) * (ratios.get(k, 1.0) if ratios else 1.0)
+                for k in self.names
+            ],
+            dtype=np.float64,
+        )
+        self.probs = weights / weights.sum()
+        self.accum_steps = accum_steps
+        self.rng = np.random.default_rng(seed)
+        self._pending = 0
+        self._task: Optional[str] = None
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._pending == 0:
+            self._task = self.names[
+                int(self.rng.choice(len(self.names), p=self.probs))
+            ]
+            self._pending = self.accum_steps
+        self._pending -= 1
+        return self._task, next(self.iters[self._task])
+
+
+class DevicePrefetcher:
+    """Wraps an iterator of numpy batches; stages device_put of batch k+1
+    while batch k computes (jax dispatch is async, so a 1-deep queue in a
+    thread suffices to overlap H2D with compute)."""
+
+    def __init__(self, it: Iterator, put: Callable, depth: int = 2):
+        self._it = iter(it)
+        self._put = put
+        self._q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
+        self._done = object()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        try:
+            for item in self._it:
+                self._q.put(self._put(item))
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            raise StopIteration
+        return item

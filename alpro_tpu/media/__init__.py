@@ -1,0 +1,88 @@
+"""Media: video decode backends.
+
+The reference decodes with decord (C++/FFmpeg, seek-and-decode sampled frames
+with in-decoder resize — `/root/reference/src/datasets/dataset_base.py:137-182`).
+Here the equivalent native path is `alpro_tpu/media/decoder.cpp`: an
+FFmpeg-based C++ library (built to libalpro_media.so) that seeks, decodes only
+the sampled frames, and swscale-resizes — exposed through ctypes with zero
+copies on the Python side. A `.npy`/`.npz` raw-clip backend covers synthetic
+fixtures and tests (no codecs involved).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from alpro_tpu.data.sampling import sample_frame_indices
+
+
+class NpyVideoBackend:
+    """Reads (T, H, W, C) uint8 clips from .npy/.npz files."""
+
+    def read(
+        self,
+        path: str,
+        num_frm: int,
+        sampling: str = "uniform",
+        rng: Optional[np.random.Generator] = None,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+    ) -> Optional[np.ndarray]:
+        try:
+            if path.endswith(".npz"):
+                frames = np.load(path)["frames"]
+            else:
+                frames = np.load(path)
+        except Exception:
+            return None
+        vlen = frames.shape[0]
+        idx = sample_frame_indices(vlen, num_frm, sampling, rng)
+        clip = frames[idx]
+        if height and width and clip.shape[1:3] != (height, width):
+            from alpro_tpu.data.transforms import resize_shorter_side
+
+            clip = resize_shorter_side(clip, min(height, width))
+        return clip
+
+
+class FFmpegVideoBackend:
+    """ctypes wrapper over libalpro_media.so (see alpro_tpu/media/decoder.cpp)."""
+
+    def __init__(self):
+        from alpro_tpu.media.binding import MediaDecoder
+
+        self._dec = MediaDecoder()
+
+    def read(self, path, num_frm, sampling="uniform", rng=None,
+             height=None, width=None):
+        info = self._dec.probe(path)
+        if info is None or info.num_frames <= 0:
+            return None
+        idx = sample_frame_indices(info.num_frames, num_frm, sampling, rng)
+        return self._dec.decode_frames(path, idx, height or 0, width or 0)
+
+
+def get_video_backend(name: str = "auto"):
+    if name == "npy":
+        return NpyVideoBackend()
+    if name == "ffmpeg":
+        return FFmpegVideoBackend()
+    if name == "auto":
+        try:
+            return FFmpegVideoBackend()
+        except Exception:
+            return NpyVideoBackend()
+    raise ValueError(f"unknown video backend {name!r}")
+
+
+def read_video(path: str, num_frm: int, sampling: str = "uniform",
+               rng=None, height=None, width=None, backend=None):
+    if backend is None:
+        if path.endswith((".npy", ".npz")):
+            backend = NpyVideoBackend()
+        else:
+            backend = get_video_backend("auto")
+    return backend.read(path, num_frm, sampling, rng, height, width)

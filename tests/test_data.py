@@ -1,0 +1,220 @@
+"""Data-layer tests: samplers, masking, erase, tokenizer, datasets, loaders."""
+
+import numpy as np
+import pytest
+
+from alpro_tpu.data import (
+    mask_batch_text_tokens,
+    random_erase,
+    sample_frame_indices,
+    normalize_pixels,
+)
+from alpro_tpu.data.datasets import (
+    PretrainCollator,
+    PretrainVideoDataset,
+    RetrievalCollator,
+    RetrievalDataset,
+    RetrievalEvalDataset,
+    VideoQADataset,
+    load_jsonl,
+)
+from alpro_tpu.data.loader import BatchLoader, InfiniteIterator, MetaLoader
+from alpro_tpu.data.tokenization import WordPieceTokenizer, make_test_vocab
+
+from fixtures import make_tokenizer, write_qa_dataset, write_video_dataset
+
+
+# ---- frame sampling ------------------------------------------------------
+@pytest.mark.parametrize("strategy", ["uniform", "nlvl_uniform", "nlvl_rand", "rand", "headtail"])
+def test_samplers_in_range_and_count(strategy):
+    rng = np.random.default_rng(0)
+    for vlen in [8, 30, 100, 101]:
+        idx = sample_frame_indices(vlen, 8, strategy, rng)
+        assert len(idx) == 8
+        assert (idx >= 0).all() and (idx < vlen).all()
+
+
+def test_headtail_split():
+    rng = np.random.default_rng(1)
+    idx = sample_frame_indices(100, 8, "headtail", rng)
+    assert (idx[:4] < 50).all() and (idx[4:] >= 50).all()
+
+
+def test_uniform_deterministic():
+    a = sample_frame_indices(100, 8, "uniform")
+    b = sample_frame_indices(100, 8, "uniform")
+    np.testing.assert_array_equal(a, b)
+
+
+# ---- MLM masking ---------------------------------------------------------
+def test_mlm_masking_statistics():
+    tok = make_tokenizer()
+    rng = np.random.default_rng(0)
+    ids = np.full((200, 20), tok.convert_tokens_to_ids("dog"), dtype=np.int64)
+    ids[:, 0] = tok.cls_token_id
+    ids[:, -1] = tok.sep_token_id
+    masked, labels = mask_batch_text_tokens(ids, tok, rng=rng)
+    # special positions never masked
+    assert (labels[:, 0] == -100).all() and (labels[:, -1] == -100).all()
+    sel = labels != -100
+    frac = sel.mean()
+    assert 0.10 < frac < 0.20, frac  # ~15%
+    # of masked: ~80% [MASK]
+    frac_mask_tok = (masked[sel] == tok.mask_token_id).mean()
+    assert 0.7 < frac_mask_tok < 0.9
+    # unmasked positions unchanged
+    assert (masked[~sel] == ids[~sel]).all()
+
+
+def test_mlm_never_masks_padding():
+    tok = make_tokenizer()
+    ids = np.full((50, 10), tok.pad_token_id, dtype=np.int64)
+    masked, labels = mask_batch_text_tokens(ids, tok, rng=np.random.default_rng(0))
+    assert (labels == -100).all()
+    np.testing.assert_array_equal(masked, ids)
+
+
+# ---- random erase --------------------------------------------------------
+def test_random_erase_patch_alignment():
+    rng = np.random.default_rng(0)
+    frames = rng.integers(1, 255, (4, 64, 64, 3)).astype(np.uint8)
+    for seed in range(10):
+        crop, mask, context = random_erase(
+            frames, patch_size=16, rng=np.random.default_rng(seed)
+        )
+        assert mask.shape == (4, 4)
+        assert crop.shape == frames.shape and context.shape == frames.shape
+        # complementary: crop nonzero exactly where context zeroed
+        erased = mask == 0
+        assert erased.any() and (~erased).any()
+        up = np.kron(erased, np.ones((16, 16), bool))  # patch grid → pixels
+        assert (crop[:, ~up, :] == 0).all()
+        np.testing.assert_array_equal(crop[:, up, :], frames[:, up, :])
+        assert (context[:, up, :] == 0).all()
+        np.testing.assert_array_equal(context[:, ~up, :], frames[:, ~up, :])
+
+
+# ---- tokenizer -----------------------------------------------------------
+def test_wordpiece_roundtrip():
+    tok = make_tokenizer()
+    enc = tok(["a dog runs", "the cat jumps"], max_length=8)
+    assert enc["input_ids"].shape == (2, 8)
+    assert enc["input_ids"][0, 0] == tok.cls_token_id
+    assert tok.decode_pieces(enc["input_ids"][0]) == "a dog runs"
+    # mask covers exactly the non-pad prefix
+    row = enc["input_ids"][1]
+    n = (row != tok.pad_token_id).sum()
+    assert enc["attention_mask"][1, :n].all()
+    assert not enc["attention_mask"][1, n:].any()
+
+
+def test_wordpiece_subword_fallback():
+    tok = make_tokenizer()
+    pieces = tok.tokenize("dogcat")  # not a vocab word → subword pieces
+    assert len(pieces) >= 2
+    assert pieces[0] in tok.vocab and all(p in tok.vocab for p in pieces)
+
+
+def test_truncation():
+    tok = make_tokenizer()
+    enc = tok(["a dog runs and jumps and runs and jumps"], max_length=5)
+    assert enc["input_ids"].shape == (1, 5)
+    assert enc["input_ids"][0, -1] == tok.sep_token_id
+
+
+# ---- datasets + collators ------------------------------------------------
+def test_retrieval_dataset_and_collator(tmp_path):
+    ann, vid_dir, rows = write_video_dataset(str(tmp_path), n_videos=6)
+    ds = RetrievalDataset(
+        load_jsonl(ann), vid_dir, num_frm=4, resize_size=48, crop_size=32,
+    )
+    tok = make_tokenizer()
+    col = RetrievalCollator(tok, max_txt_len=12)
+    loader = BatchLoader(ds, col, batch_size=3)
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["visual_inputs"].shape == (3, 4, 32, 32, 3)
+    assert b["visual_inputs"].dtype == np.uint8
+    assert b["text_input_ids"].shape == (3, 12)
+    x = normalize_pixels(b["visual_inputs"].astype(np.float32))
+    assert abs(float(x.mean())) < 3.0
+
+
+def test_decode_failure_resamples(tmp_path):
+    ann, vid_dir, rows = write_video_dataset(str(tmp_path), n_videos=4)
+    import os
+
+    # corrupt one file
+    with open(os.path.join(vid_dir, "vid001.npy"), "wb") as f:
+        f.write(b"not a numpy file")
+    ds = RetrievalDataset(
+        load_jsonl(ann), vid_dir, num_frm=2, resize_size=48, crop_size=32,
+    )
+    out = ds[1]  # must fall back to a different sample
+    assert out["clip"].shape == (2, 32, 32, 3)
+
+
+def test_retrieval_eval_dataset(tmp_path):
+    ann, vid_dir, rows = write_video_dataset(str(tmp_path), n_videos=5)
+    ds = RetrievalEvalDataset(
+        load_jsonl(ann), vid_dir, num_frm=2, resize_size=48, crop_size=32,
+    )
+    assert len(ds) == 5
+    assert len(ds.texts) == 5
+    v = ds.get_video(0)
+    assert v["clip"].shape == (2, 32, 32, 3)
+    assert ds.gt_txt_id2vid_id[rows[0]["txt_id"]] == rows[0]["vid_id"]
+
+
+def test_qa_dataset(tmp_path):
+    ann, vid_dir, rows, ans2label = write_qa_dataset(str(tmp_path))
+    ds = VideoQADataset(
+        load_jsonl(ann), vid_dir, ans2label, num_frm=2, resize_size=48,
+        crop_size=32,
+    )
+    ex = ds[0]
+    assert ex["label"] == ans2label[rows[0]["answer"]]
+    results = [{"question_id": r["question_id"], "answer": ans2label[r["answer"]]} for r in rows]
+    metrics = ds.evaluate_qa(results)
+    assert metrics["overall_acc"] == 1.0
+    assert "what_acc" in metrics
+
+
+def test_pretrain_collator_mlm_and_mpm(tmp_path):
+    ann, vid_dir, rows = write_video_dataset(str(tmp_path), n_videos=4)
+    ds = PretrainVideoDataset(
+        load_jsonl(ann), vid_dir, num_frm=2, resize_size=48, crop_size=32,
+    )
+    tok = make_tokenizer()
+    col = PretrainCollator(tok, max_txt_len=10, mlm=True, mpm=True, patch_size=16)
+    loader = BatchLoader(ds, col, batch_size=2)
+    b = next(iter(loader))
+    assert b["mlm_text_input_ids"].shape == b["text_input_ids"].shape
+    assert b["mpm_mask"].shape == (2, 2, 2)  # 32/16 grid
+    assert b["crop_visual_inputs"].shape == b["visual_inputs"].shape
+    assert (b["mlm_labels"][b["mlm_labels"] != -100] >= 0).all()
+
+
+# ---- loaders -------------------------------------------------------------
+def test_meta_loader_mixing_deterministic():
+    la = [("a", i) for i in range(30)]
+    lb = [("b", i) for i in range(10)]
+
+    class L(list):
+        pass
+
+    m1 = MetaLoader({"a": la, "b": lb}, accum_steps=2, seed=7)
+    m2 = MetaLoader({"a": la, "b": lb}, accum_steps=2, seed=7)
+    seq1 = [next(m1)[0] for _ in range(40)]
+    seq2 = [next(m2)[0] for _ in range(40)]
+    assert seq1 == seq2
+    # accum pairs share the task
+    assert all(seq1[i] == seq1[i + 1] for i in range(0, 40, 2))
+    assert 0.5 < seq1.count("a") / 40  # ~75% from dataset sizes
+
+
+def test_infinite_iterator_cycles():
+    it = InfiniteIterator([1, 2, 3])
+    vals = [next(it) for _ in range(7)]
+    assert vals == [1, 2, 3, 1, 2, 3, 1]

@@ -1,0 +1,79 @@
+"""Retrieval + QA metric tests."""
+
+import numpy as np
+
+from alpro_tpu.evals import eval_retrieval, pool_clip_logits, retrieval_metrics_from_matrix
+from alpro_tpu.evals.qa import evaluate_qa
+
+
+def test_retrieval_metrics_perfect():
+    score = np.eye(10, dtype=np.float32)
+    m = retrieval_metrics_from_matrix(score, np.arange(10))
+    assert m["r1"] == 100.0 and m["medianR"] == 1.0 and m["meanR"] == 1.0
+
+
+def test_retrieval_metrics_known_ranks():
+    # 4 queries; GT ranks: 1, 2, 6, 11
+    num_c = 20
+    score = np.zeros((4, num_c), dtype=np.float32)
+    gt = np.array([3, 5, 7, 9])
+    ranks = [1, 2, 6, 11]
+    for i, (g, r) in enumerate(zip(gt, ranks)):
+        score[i, g] = 5.0  # GT above the 0 default, below competitors
+        # r-1 competitors above
+        others = [c for c in range(num_c) if c != g][: r - 1]
+        for o in others:
+            score[i, o] = 20.0
+    m = retrieval_metrics_from_matrix(score, gt)
+    assert m["r1"] == 25.0
+    assert m["r5"] == 50.0
+    assert m["r10"] == 75.0
+    assert m["medianR"] == 4.0
+    assert m["meanR"] == 5.0
+
+
+def test_eval_retrieval_contract():
+    # 3 texts × 3 videos; VTM score ranks GT first for texts 0, 1; second for 2
+    pairs = []
+    gt = {0: "v0", 1: "v1", 2: "v2"}
+    scores = {
+        (0, "v0"): 0.9, (0, "v1"): 0.1, (0, "v2"): 0.2,
+        (1, "v0"): 0.2, (1, "v1"): 0.8, (1, "v2"): 0.3,
+        (2, "v0"): 0.7, (2, "v1"): 0.1, (2, "v2"): 0.6,
+    }
+    for (t, v), s in scores.items():
+        pairs.append({"txt_id": t, "vid_id": v, "score": s, "sim": s})
+    # duplicates must be dropped keeping first
+    pairs.append({"txt_id": 0, "vid_id": "v0", "score": 0.0, "sim": 0.0})
+    m = eval_retrieval(pairs, gt)
+    np.testing.assert_allclose(m["text2video"]["r1"], 100 * 2 / 3, rtol=1e-6)
+    assert m["video2text"]["r1"] > 0
+
+
+def test_pool_clip_logits():
+    rng = np.random.RandomState(0)
+    logits = rng.randn(3, 4, 5).astype(np.float32)
+    np.testing.assert_allclose(pool_clip_logits(logits, "mean"), logits.mean(0))
+    np.testing.assert_allclose(pool_clip_logits(logits, "max"), logits.max(0))
+    lse = pool_clip_logits(logits, "lse")
+    want = np.log(np.exp(logits).sum(0))
+    np.testing.assert_allclose(lse, want, rtol=1e-5)
+
+
+def test_evaluate_qa_per_type():
+    qid2data = {
+        0: {"answer": "dog", "answer_type": "what"},
+        1: {"answer": "cat", "answer_type": "what"},
+        2: {"answer": "mary", "answer_type": "who"},
+    }
+    label2ans = {0: "dog", 1: "cat", 2: "mary"}
+    results = [
+        {"question_id": 0, "answer": 0},  # correct
+        {"question_id": 1, "answer": 0},  # wrong
+        {"question_id": 2, "answer": 2},  # correct
+    ]
+    m = evaluate_qa(results, qid2data, label2ans, task_type="msvd_qa")
+    np.testing.assert_allclose(m["overall_acc"], 2 / 3)
+    np.testing.assert_allclose(m["what_acc"], 0.5)
+    np.testing.assert_allclose(m["who_acc"], 1.0)
+    assert m["ratios"]["what_ratio"][1] == 2
