@@ -7,3 +7,12 @@ preprocessing) is native C++ (see alpro_tpu/media).
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("ALPRO_PLATFORM"):
+    # Some environments pin JAX_PLATFORMS via a site hook before user code
+    # runs; jax.config still honours an update made before backend init.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["ALPRO_PLATFORM"])

@@ -1,0 +1,115 @@
+"""Checkpoint save/restore via Orbax.
+
+Two tiers, mirroring the reference (`/root/reference/src/utils/load_save.py`):
+  * deploy checkpoints — model params only, `ckpt/model_step_{N}`
+    (`ModelSaver.save`, :45-70);
+  * resume checkpoints — params + optimizer state + step in
+    `restore/` with a double-buffered backup, written every save_steps
+    (`E2E_TrainingRestorer`, :280-347).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAS_ORBAX = False
+
+from alpro_tpu.core.logging import LOGGER
+
+
+def _to_numpy_tree(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_params(output_dir: str, step: int, params: Any) -> str:
+    path = os.path.abspath(os.path.join(output_dir, "ckpt", f"model_step_{step}"))
+    if _HAS_ORBAX:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, _to_numpy_tree(params), force=True)
+        ckptr.wait_until_finished()
+    else:  # msgpack fallback
+        import flax.serialization
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path + ".msgpack", "wb") as f:
+            f.write(flax.serialization.to_bytes(_to_numpy_tree(params)))
+    LOGGER.info("saved model checkpoint: %s", path)
+    return path
+
+
+def load_params(path: str, target: Optional[Any] = None) -> Any:
+    path = os.path.abspath(path)
+    if os.path.exists(path + ".msgpack"):
+        import flax.serialization
+
+        with open(path + ".msgpack", "rb") as f:
+            data = f.read()
+        assert target is not None, "msgpack restore needs a target tree"
+        return flax.serialization.from_bytes(target, data)
+    assert _HAS_ORBAX, "orbax unavailable and no msgpack checkpoint found"
+    ckptr = ocp.StandardCheckpointer()
+    if target is not None:
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), target
+        )
+        return ckptr.restore(path, abstract)
+    return ckptr.restore(path)
+
+
+class TrainingRestorer:
+    """Preemption-safe resume: state written to restore/{a,b} alternately;
+    the newer valid one wins at restore (reference double-buffer
+    `restore.pt` / `restore_backup.pt`, `load_save.py:280-347`)."""
+
+    def __init__(self, output_dir: str, save_steps: int = 500):
+        self.dir = os.path.abspath(os.path.join(output_dir, "restore"))
+        os.makedirs(self.dir, exist_ok=True)
+        self.save_steps = save_steps
+        self._slot = 0
+
+    def step(self, global_step: int, state) -> None:
+        if self.save_steps > 0 and global_step % self.save_steps == 0:
+            self.save(state)
+
+    def save(self, state) -> None:
+        slot = "a" if self._slot == 0 else "b"
+        self._slot ^= 1
+        path = os.path.join(self.dir, slot)
+        if _HAS_ORBAX:
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(path, _to_numpy_tree(state), force=True)
+            ckptr.wait_until_finished()
+        else:
+            import flax.serialization
+
+            with open(path + ".msgpack", "wb") as f:
+                f.write(flax.serialization.to_bytes(_to_numpy_tree(state)))
+        # stamp completion marker with the step for newest-wins restore
+        step = int(np.asarray(jax.device_get(state.step)))
+        with open(path + ".done", "w") as f:
+            f.write(str(step))
+
+    def latest_slot(self) -> Optional[str]:
+        best, best_step = None, -1
+        for slot in ("a", "b"):
+            marker = os.path.join(self.dir, slot + ".done")
+            if os.path.exists(marker):
+                s = int(open(marker).read().strip() or -1)
+                if s > best_step:
+                    best, best_step = slot, s
+        return best
+
+    def restore(self, target):
+        slot = self.latest_slot()
+        if slot is None:
+            return None
+        return load_params(os.path.join(self.dir, slot), target)

@@ -1,0 +1,284 @@
+"""Shared CLI machinery: model setup, mesh, training-loop scaffolding.
+
+The equivalent of the reference's per-task `setup_model` / `setup_dataloaders`
+/ train-loop skeleton (`/root/reference/src/tasks/run_video_retrieval.py:
+194-241,302-512`), factored once.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alpro_tpu.checkpoint.orbax_io import TrainingRestorer, save_params
+from alpro_tpu.checkpoint.torch_convert import load_reference_checkpoint
+from alpro_tpu.core.config import Config, load_json_config
+from alpro_tpu.core.logging import LOGGER, TB_LOGGER, RunningMeter, add_log_to_file
+from alpro_tpu.core.mesh import make_mesh, replicate, shard_batch
+from alpro_tpu.data.tokenization import build_tokenizer
+from alpro_tpu.models import (
+    AlproModel,
+    BertConfig,
+    TimeSformerConfig,
+    build_prompter_model,
+    build_pretrain_model,
+    build_qa_model,
+    build_retrieval_model,
+)
+from alpro_tpu.train import TrainState, build_optimizer, get_lr_schedule
+from alpro_tpu.train.step import shard_step
+
+
+def setup_environment(cfg: Config):
+    np.random.seed(cfg.get("seed", 42))
+    if cfg.get("output_dir"):
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        add_log_to_file(os.path.join(cfg.output_dir, "log", "log.txt"))
+        TB_LOGGER.create(os.path.join(cfg.output_dir, "log"))
+        with open(os.path.join(cfg.output_dir, "log", "args.json"), "w") as f:
+            json.dump({k: v for k, v in cfg.items() if _jsonable(v)}, f, indent=2)
+
+
+def _jsonable(v) -> bool:
+    try:
+        json.dumps(v)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+def compute_dtype(cfg: Config):
+    name = cfg.get("compute_dtype", "bfloat16")
+    return jnp.bfloat16 if name == "bfloat16" else jnp.float32
+
+
+def build_model_from_cfg(cfg: Config, task: str) -> AlproModel:
+    bert_dict = dict(load_json_config(cfg.model_config))
+    bert_dict.setdefault("attn_impl", cfg.get("attn_impl", "auto"))
+    bert = BertConfig.from_json_dict(bert_dict)
+    vis_dict = dict(load_json_config(cfg.visual_model_cfg))
+    vis = TimeSformerConfig(
+        img_size=cfg.crop_img_size,
+        patch_size=vis_dict.get("patch_size", 16),
+        num_frames=cfg.num_frm,
+        embed_dim=vis_dict.get("embed_dim", 768),
+        depth=vis_dict.get("depth", 12),
+        num_heads=vis_dict.get("num_heads", 12),
+        drop_rate=vis_dict.get("drop_rate", 0.0),
+        attn_drop_rate=vis_dict.get("attn_drop_rate", 0.0),
+        drop_path_rate=vis_dict.get("drop_path_rate", 0.1),
+        attn_impl=cfg.get("attn_impl", "auto"),
+    )
+    dtype = compute_dtype(cfg)
+    if task == "retrieval":
+        return build_retrieval_model(bert, vis, dtype=dtype)
+    if task == "qa":
+        return build_qa_model(
+            bert, vis, num_labels=cfg.num_labels,
+            cls_hidden_scale=cfg.get("cls_hidden_scale", 2), dtype=dtype,
+        )
+    if task == "pretrain":
+        return build_pretrain_model(
+            bert, vis, num_entities=cfg.get("num_entities", 1000), dtype=dtype
+        )
+    if task == "prompter":
+        return build_prompter_model(bert, vis, dtype=dtype)
+    raise ValueError(task)
+
+
+def init_params(model: AlproModel, cfg: Config, seed: int = 0):
+    T = cfg.num_frm
+    S = cfg.crop_img_size
+    pixels = jnp.zeros((1, T, S, S, 3), jnp.float32)
+    ids = jnp.zeros((1, cfg.max_txt_len), jnp.int32)
+    mask = jnp.ones((1, cfg.max_txt_len), jnp.int32)
+    return model.init({"params": jax.random.PRNGKey(seed)}, pixels, ids, mask)
+
+
+def maybe_load_e2e_weights(params, cfg: Config, remove_text_encoder_prefix=False):
+    """Merge a converted reference checkpoint over the init tree (missing keys
+    keep their init values, like the reference's strict=False load)."""
+    path = cfg.get("e2e_weights_path")
+    if not path:
+        return params
+    if not os.path.exists(path):
+        LOGGER.warning("e2e_weights_path %s not found; training from init", path)
+        return params
+    num_patches = (cfg.crop_img_size // 16) ** 2
+    loaded, _prompter_sd = load_reference_checkpoint(
+        path, num_patches=num_patches, num_frames=cfg.num_frm,
+        remove_text_encoder_prefix=remove_text_encoder_prefix,
+    )
+    return merge_params(params, loaded)
+
+
+def merge_params(init_tree, loaded_tree):
+    """Recursively overlay loaded leaves whose shapes match; report the rest."""
+    skipped = []
+
+    def merge(dst, src, path=""):
+        if isinstance(dst, dict) and isinstance(src, dict):
+            out = dict(dst)
+            for k in src:
+                if k in out:
+                    out[k] = merge(out[k], src[k], f"{path}/{k}")
+                else:
+                    skipped.append(f"{path}/{k} (not in model)")
+            return out
+        if hasattr(dst, "shape") and hasattr(src, "shape"):
+            if tuple(np.shape(dst)) == tuple(np.shape(src)):
+                return jnp.asarray(np.asarray(src), dtype=dst.dtype)
+            skipped.append(f"{path} (shape {np.shape(src)} vs {np.shape(dst)})")
+            return dst
+        return jnp.asarray(np.asarray(src)) if src is not None else dst
+
+    merged = merge(init_tree, loaded_tree)
+    if skipped:
+        LOGGER.info("checkpoint merge skipped %d keys: %s", len(skipped), skipped[:20])
+    return merged
+
+
+def setup_training(cfg: Config, model: AlproModel, make_step: Callable,
+                   steps_per_epoch: int, extra_repl_args: int = 0):
+    """Returns (mesh, sharded_step, state, num_train_steps, restorer).
+
+    `extra_repl_args` — number of additional replicated positional args the
+    step takes after (state, batch, rng) (e.g. teacher params + prompt bank
+    for pretraining)."""
+    num_train_steps = int(
+        math.ceil(
+            cfg.num_train_epochs * steps_per_epoch
+            / cfg.get("gradient_accumulation_steps", 1)
+        )
+    )
+    sched = get_lr_schedule(
+        cfg.get("decay", "linear"), cfg.learning_rate, num_train_steps,
+        warmup_ratio=cfg.get("warmup_ratio", 0.1),
+    )
+    tx = build_optimizer(
+        sched,
+        betas=tuple(cfg.get("betas", (0.9, 0.98))),
+        weight_decay=cfg.get("weight_decay", 0.0),
+        apply_weight_decay=bool(cfg.get("apply_weight_decay", False)),
+        grad_norm=cfg.get("grad_norm", None),
+    )
+
+    params = init_params(model, cfg, seed=cfg.get("seed", 42))
+    params = maybe_load_e2e_weights(
+        params, cfg,
+        remove_text_encoder_prefix=bool(cfg.get("remove_text_encoder_prefix", False)),
+    )
+
+    n_dev = len(jax.devices())
+    shape = cfg.get("mesh_shape")
+    if shape is None:
+        # batch must divide over dp: use the largest divisor of the global
+        # batch that fits the device count
+        bs = int(cfg.train_batch_size)
+        n = n_dev
+        while n > 1 and bs % n != 0:
+            n -= 1
+        if n != n_dev:
+            LOGGER.warning(
+                "train_batch_size %d not divisible by %d devices; using dp=%d",
+                bs, n_dev, n,
+            )
+        shape = [n]
+    mesh = make_mesh(devices=jax.devices()[: int(np.prod(shape))], shape=shape)
+    state = replicate(mesh, TrainState.create(params, tx))
+    if extra_repl_args:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("dp"))
+        step = jax.jit(
+            make_step(model, tx),
+            in_shardings=(repl, data, repl) + (repl,) * extra_repl_args,
+            donate_argnums=(0,),
+        )
+    else:
+        step = shard_step(make_step(model, tx), mesh)
+
+    save_steps = max(
+        1, int(cfg.get("save_steps_ratio", 0.05) * num_train_steps)
+    )
+    restorer = TrainingRestorer(cfg.output_dir, save_steps) if cfg.get("output_dir") else None
+    if restorer is not None:
+        restored = restorer.restore(jax.device_get(state))
+        if restored is not None:
+            state = replicate(mesh, restored)
+            LOGGER.info("resumed from step %d", int(np.asarray(restored.step)))
+    return mesh, step, state, num_train_steps, restorer
+
+
+def run_train_loop(
+    cfg: Config,
+    mesh,
+    step_fn: Callable,
+    state: TrainState,
+    train_iter,
+    num_train_steps: int,
+    restorer: Optional[TrainingRestorer] = None,
+    validate_fn: Optional[Callable] = None,
+    save_model_fn: Optional[Callable] = None,
+    step_extra_args: Tuple = (),
+):
+    rng = jax.random.PRNGKey(cfg.get("seed", 42))
+    start_step = int(np.asarray(jax.device_get(state.step)))
+    meters: Dict[str, RunningMeter] = {}
+    log_interval = cfg.get("log_interval", 100)
+    valid_steps = max(1, num_train_steps // max(cfg.get("num_valid", 10), 1))
+    debug = bool(cfg.get("debug", False))
+
+    t0 = time.time()
+    for global_step in range(start_step, num_train_steps):
+        batch = next(train_iter)
+        dbatch = shard_batch(mesh, _drop_non_arrays(batch))
+        state, metrics = step_fn(state, dbatch, rng, *step_extra_args)
+        for k, v in metrics.items():
+            meters.setdefault(k, RunningMeter(k))(float(v))
+        if (global_step + 1) % log_interval == 0:
+            rate = (global_step + 1 - start_step) / (time.time() - t0)
+            LOGGER.info(
+                "step %d/%d (%.2f it/s): %s",
+                global_step + 1, num_train_steps, rate,
+                "  ".join(str(m) for m in meters.values()),
+            )
+            TB_LOGGER.log_scalar_dict(
+                {m.name: m.val for m in meters.values()}, prefix="train"
+            )
+        if (global_step + 1) % valid_steps == 0 or debug:
+            if validate_fn is not None:
+                validate_fn(state, global_step + 1)
+            if save_model_fn is not None:
+                save_model_fn(state, global_step + 1)
+        if restorer is not None:
+            restorer.step(global_step + 1, jax.device_get(state))
+        if debug and global_step - start_step >= 3:
+            LOGGER.info("debug mode: stopping after %d steps", global_step + 1)
+            break
+    return state
+
+
+def _drop_non_arrays(batch: Dict) -> Dict:
+    return {
+        k: v
+        for k, v in batch.items()
+        if isinstance(v, (np.ndarray, jnp.ndarray))
+        and v.dtype != object
+    }
+
+
+def default_save_model_fn(cfg: Config, model: AlproModel):
+    def save(state, step):
+        if cfg.get("output_dir"):
+            save_params(cfg.output_dir, step, jax.device_get(state.params))
+
+    return save

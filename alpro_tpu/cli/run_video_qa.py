@@ -1,0 +1,168 @@
+"""Open-ended video QA: finetuning + inference.
+
+CLI-compatible with `/root/reference/src/tasks/run_video_qa.py`:
+
+    python -m alpro_tpu.cli.run_video_qa --config configs/msvd_qa.json \
+        --output_dir out/ [--do_inference 1]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List
+
+import jax
+import numpy as np
+
+from alpro_tpu.cli import common
+from alpro_tpu.core.config import Config, get_video_qa_args
+from alpro_tpu.core.logging import LOGGER, TB_LOGGER
+from alpro_tpu.data.datasets import QACollator, VideoQADataset, load_json, load_jsonl
+from alpro_tpu.data.loader import BatchLoader, InfiniteIterator
+from alpro_tpu.evals.qa import pool_clip_logits
+from alpro_tpu.train.step import make_qa_inference_fn, make_qa_train_step
+
+
+def _mk_datasets(cfg: Config, tokenizer, split="train"):
+    spec = cfg.train_datasets[0] if split == "train" else cfg.val_datasets[0]
+    txt = spec["txt"]
+    if isinstance(txt, dict):
+        txt = list(txt.values())[0]
+    rows = load_jsonl(txt)
+    if split == "train" and cfg.get("data_ratio", 1.0) < 1.0:
+        rows = rows[: max(1, int(len(rows) * cfg.data_ratio))]
+    ans2label = load_json(cfg.ans2label_path)
+    n_clips = cfg.get("train_n_clips", 1) if split == "train" else cfg.get("inference_n_clips", 1)
+    ds = VideoQADataset(
+        rows, spec["img"], ans2label,
+        num_frm=cfg.num_frm * n_clips,
+        frm_sampling_strategy=cfg.get("frm_sampling_strategy", "rand")
+        if split == "train" else "uniform",
+        resize_size=cfg.resize_size, crop_size=cfg.crop_img_size,
+        is_train=(split == "train"), seed=cfg.get("seed", 42),
+        return_label=True,
+    )
+    ds.task_type = cfg.get("task", "msrvtt_qa")
+    return ds
+
+
+_INFER_CACHE = {}
+
+
+def inference_qa(model, params, ds, tokenizer, cfg: Config) -> List[dict]:
+    """Multi-clip eval: per-clip logits pooled with mean/max/lse
+    (`run_video_qa.py:251-279`)."""
+    key = id(model)
+    if key not in _INFER_CACHE:
+        _INFER_CACHE[key] = jax.jit(make_qa_inference_fn(model))
+    infer = _INFER_CACHE[key]
+    col = QACollator(tokenizer, cfg.max_txt_len)
+    loader = BatchLoader(
+        ds, col, cfg.get("inference_batch_size", cfg.val_batch_size),
+        shuffle=False, drop_last=False,
+    )
+    num_clips = int(cfg.get("inference_n_clips", 1))
+    num_frm = cfg.num_frm
+    results = []
+    for batch in loader:
+        vis = batch["visual_inputs"]
+        B = vis.shape[0]
+        vis = vis.reshape(B, num_clips, num_frm, *vis.shape[2:])
+        clip_logits = []
+        for c in range(num_clips):
+            out = infer(params, {
+                "visual_inputs": vis[:, c],
+                "text_input_ids": batch["text_input_ids"],
+                "text_input_mask": batch["text_input_mask"],
+            })
+            clip_logits.append(np.asarray(out))
+        logits = pool_clip_logits(
+            np.stack(clip_logits), cfg.get("score_agg_func", "mean")
+        )
+        preds = logits.argmax(-1)
+        for qid, p in zip(batch["question_ids"], preds):
+            results.append({"question_id": qid, "answer": int(p)})
+        if cfg.get("debug") and len(results) >= 2 * B:
+            break
+    return results
+
+
+def validate(model, state, ds, tokenizer, cfg, step):
+    params = jax.device_get(state.params)
+    results = inference_qa(model, params, ds, tokenizer, cfg)
+    metrics = ds.evaluate_qa(results)
+    LOGGER.info("step %s qa: %s", step, json.dumps(metrics))
+    TB_LOGGER.log_scalar_dict(
+        {k: v for k, v in metrics.items() if isinstance(v, float)}, prefix="val"
+    )
+    return metrics
+
+
+def start_training(cfg: Config):
+    common.setup_environment(cfg)
+    from alpro_tpu.data.tokenization import build_tokenizer
+
+    tokenizer = build_tokenizer(cfg.tokenizer_dir)
+    model = common.build_model_from_cfg(cfg, "qa")
+    train_ds = _mk_datasets(cfg, tokenizer, "train")
+    val_ds = _mk_datasets(cfg, tokenizer, "val")
+    col = QACollator(tokenizer, cfg.max_txt_len)
+    train_loader = BatchLoader(
+        train_ds, col, cfg.train_batch_size, seed=cfg.get("seed", 42)
+    )
+
+    # QA finetunes from the pretrain ckpt with the text_encoder.bert prefix
+    # stripped (`run_video_qa.py:189-195`)
+    cfg["remove_text_encoder_prefix"] = True
+    mesh, step_fn, state, num_steps, restorer = common.setup_training(
+        cfg, model, make_qa_train_step, steps_per_epoch=len(train_loader),
+    )
+    LOGGER.info("training qa for %d steps", num_steps)
+    state = common.run_train_loop(
+        cfg, mesh, step_fn, state, InfiniteIterator(train_loader), num_steps,
+        restorer=restorer,
+        validate_fn=lambda s, gs: validate(model, s, val_ds, tokenizer, cfg, gs),
+        save_model_fn=common.default_save_model_fn(cfg, model),
+    )
+    validate(model, state, val_ds, tokenizer, cfg, "final")
+    return state
+
+
+def start_inference(cfg: Config):
+    common.setup_environment(cfg)
+    stored = os.path.join(cfg.output_dir or "", "log", "args.json")
+    if os.path.exists(stored):
+        with open(stored) as f:
+            train_args = json.load(f)
+        for k, v in train_args.items():
+            if "inference" not in k and k != "output_dir":
+                cfg[k] = Config._wrap(v)
+    from alpro_tpu.data.tokenization import build_tokenizer
+
+    tokenizer = build_tokenizer(cfg.tokenizer_dir)
+    model = common.build_model_from_cfg(cfg, "qa")
+    params = common.init_params(model, cfg)
+    params = common.maybe_load_e2e_weights(
+        params, cfg, remove_text_encoder_prefix=False
+    )
+    ds = _mk_datasets(cfg, tokenizer, "val")
+    results = inference_qa(model, params, ds, tokenizer, cfg)
+    metrics = ds.evaluate_qa(results)
+    LOGGER.info("inference qa: %s", json.dumps(metrics))
+    if cfg.get("output_dir"):
+        with open(os.path.join(cfg.output_dir, "qa_results.json"), "w") as f:
+            json.dump({"metrics": metrics, "results": results}, f)
+    return metrics
+
+
+def main():
+    cfg = get_video_qa_args()
+    if cfg.get("do_inference"):
+        start_inference(cfg)
+    else:
+        start_training(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,211 @@
+"""Text↔video retrieval: finetuning + inference.
+
+CLI-compatible with the reference entry point
+(`/root/reference/src/tasks/run_video_retrieval.py`):
+
+    python -m alpro_tpu.cli.run_video_retrieval --config configs/msrvtt_ret.json \
+        --output_dir out/ [--do_inference 1]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List
+
+import jax
+import numpy as np
+
+from alpro_tpu.cli import common
+from alpro_tpu.core.config import Config, get_video_retrieval_args, load_json_config
+from alpro_tpu.core.logging import LOGGER, TB_LOGGER
+from alpro_tpu.data.datasets import (
+    RetrievalCollator,
+    RetrievalDataset,
+    RetrievalEvalDataset,
+    load_jsonl,
+)
+from alpro_tpu.data.loader import BatchLoader, InfiniteIterator
+from alpro_tpu.data.tokenization import build_tokenizer
+from alpro_tpu.evals.retrieval import eval_retrieval
+from alpro_tpu.train.step import make_retrieval_inference_fn, make_retrieval_train_step
+
+
+def _mk_datasets(cfg: Config, tokenizer):
+    train_rows = load_jsonl(cfg.train_datasets[0]["txt"])
+    if cfg.get("data_ratio", 1.0) < 1.0:
+        train_rows = train_rows[: max(1, int(len(train_rows) * cfg.data_ratio))]
+    train_ds = RetrievalDataset(
+        train_rows, cfg.train_datasets[0]["img"],
+        num_frm=cfg.num_frm,
+        frm_sampling_strategy=cfg.get("frm_sampling_strategy", "rand"),
+        resize_size=cfg.resize_size, crop_size=cfg.crop_img_size,
+        seed=cfg.get("seed", 42),
+    )
+    collator = RetrievalCollator(tokenizer, cfg.max_txt_len)
+    train_loader = BatchLoader(
+        train_ds, collator, cfg.train_batch_size, shuffle=True,
+        seed=cfg.get("seed", 42),
+    )
+    val_rows = load_jsonl(cfg.val_datasets[0]["txt"])
+    eval_ds = RetrievalEvalDataset(
+        val_rows, cfg.val_datasets[0]["img"], num_frm=cfg.num_frm,
+        resize_size=cfg.resize_size, crop_size=cfg.crop_img_size,
+    )
+    return train_loader, eval_ds, collator
+
+
+_INFER_CACHE: Dict[int, object] = {}
+
+
+def _jit_infer(model):
+    key = id(model)
+    if key not in _INFER_CACHE:
+        _INFER_CACHE[key] = jax.jit(make_retrieval_inference_fn(model))
+    return _INFER_CACHE[key]
+
+
+def inference_retrieval(model, params, eval_ds, tokenizer, cfg: Config) -> List[dict]:
+    """Reference protocol (`run_video_retrieval.py:632-738`): for each video,
+    score every text in chunks; ranking score = P(match) from the VTM head."""
+    infer = _jit_infer(model)
+    eval_bsz = int(cfg.get("inference_batch_size", 64))
+
+    texts = eval_ds.texts
+    enc = tokenizer([t["caption"] for t in texts], max_length=cfg.max_txt_len)
+    all_ids = np.asarray(enc["input_ids"], np.int32)
+    all_mask = np.asarray(enc["attention_mask"], np.int32)
+    n_text = len(texts)
+    pad_to = ((n_text + eval_bsz - 1) // eval_bsz) * eval_bsz
+
+    results = []
+    st = time.time()
+    for vi in range(len(eval_ds)):
+        video = eval_ds.get_video(vi)
+        clip = video["clip"][None]  # (1, T, H, W, C)
+        for start in range(0, n_text, eval_bsz):
+            end = min(start + eval_bsz, n_text)
+            ids = all_ids[start:end]
+            mask = all_mask[start:end]
+            if end - start < eval_bsz:  # pad to fixed shape → one compilation
+                pad = eval_bsz - (end - start)
+                ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]), np.int32)])
+                mask = np.concatenate([mask, np.zeros((pad, mask.shape[1]), np.int32)])
+            out = infer(params, {
+                "visual_inputs": clip,
+                "text_input_ids": ids,
+                "text_input_mask": mask,
+            })
+            probs = np.asarray(jax.nn.softmax(out["logits"], axis=-1))[:, 1]
+            sims = np.asarray(out["itc_scores"])[0]
+            for j in range(end - start):
+                results.append(dict(
+                    vid_id=video["vid_id"],
+                    txt_id=texts[start + j]["txt_id"],
+                    score=float(probs[j]),
+                    sim=float(sims[j]),
+                ))
+        if (vi + 1) % 50 == 0:
+            LOGGER.info("scored %d/%d videos (%.1fs)", vi + 1, len(eval_ds), time.time() - st)
+        if cfg.get("debug") and vi >= 4:
+            break
+    return results
+
+
+def validate(model, state, eval_ds, tokenizer, cfg, step):
+    params = jax.device_get(state.params)
+    results = inference_retrieval(model, params, eval_ds, tokenizer, cfg)
+    vids_scored = {r["vid_id"] for r in results}
+    results = [r for r in results]  # full protocol needs all videos; debug trims
+    if cfg.get("debug"):
+        keep_txt = {r["txt_id"] for r in results}
+        gt = {t: v for t, v in eval_ds.gt_txt_id2vid_id.items()
+              if t in keep_txt and v in vids_scored}
+        results = [r for r in results if r["txt_id"] in gt]
+    else:
+        gt = eval_ds.gt_txt_id2vid_id
+    try:
+        metrics = eval_retrieval(results, gt)
+    except (AssertionError, IndexError) as e:
+        LOGGER.warning("retrieval eval skipped: %s", e)
+        return {}
+    LOGGER.info("step %s retrieval: %s", step, json.dumps(metrics))
+    TB_LOGGER.log_scalar_dict(
+        {f"t2v_{k}": v for k, v in metrics["text2video"].items()}, prefix="val"
+    )
+    return metrics
+
+
+def start_training(cfg: Config):
+    common.setup_environment(cfg)
+    tokenizer = build_tokenizer(cfg.tokenizer_dir)
+    model = common.build_model_from_cfg(cfg, "retrieval")
+    train_loader, eval_ds, _ = _mk_datasets(cfg, tokenizer)
+
+    mesh, step_fn, state, num_steps, restorer = common.setup_training(
+        cfg, model,
+        lambda m, tx: make_retrieval_train_step(
+            m, tx, num_local_blocks=cfg.get("vtm_negative_blocks", 1)
+        ),
+        steps_per_epoch=len(train_loader),
+    )
+    LOGGER.info("training retrieval for %d steps on %s", num_steps, mesh)
+
+    state = common.run_train_loop(
+        cfg, mesh, step_fn, state, InfiniteIterator(train_loader), num_steps,
+        restorer=restorer,
+        validate_fn=lambda s, gs: validate(model, s, eval_ds, tokenizer, cfg, gs),
+        save_model_fn=common.default_save_model_fn(cfg, model),
+    )
+    validate(model, state, eval_ds, tokenizer, cfg, "final")
+    if cfg.get("output_dir"):
+        from alpro_tpu.checkpoint.orbax_io import save_params
+
+        save_params(cfg.output_dir, int(np.asarray(jax.device_get(state.step))),
+                    jax.device_get(state.params))
+    return state
+
+
+def start_inference(cfg: Config):
+    common.setup_environment(cfg)
+    # reference behaviour: stored train args override all but *inference* keys
+    stored = os.path.join(cfg.output_dir or "", "log", "args.json")
+    if os.path.exists(stored):
+        with open(stored) as f:
+            train_args = json.load(f)
+        for k, v in train_args.items():
+            if "inference" not in k and k != "output_dir":
+                cfg[k] = Config._wrap(v)
+    tokenizer = build_tokenizer(cfg.tokenizer_dir)
+    model = common.build_model_from_cfg(cfg, "retrieval")
+    params = common.init_params(model, cfg)
+    params = common.maybe_load_e2e_weights(params, cfg)
+
+    txt = cfg.inference_txt_db or cfg.val_datasets[0]["txt"]
+    img = cfg.inference_img_db or cfg.val_datasets[0]["img"]
+    eval_ds = RetrievalEvalDataset(
+        load_jsonl(txt), img, num_frm=cfg.num_frm,
+        resize_size=cfg.resize_size, crop_size=cfg.crop_img_size,
+    )
+    results = inference_retrieval(model, params, eval_ds, tokenizer, cfg)
+    metrics = eval_retrieval(results, eval_ds.gt_txt_id2vid_id)
+    LOGGER.info("inference retrieval: %s", json.dumps(metrics))
+    if cfg.get("output_dir"):
+        out = os.path.join(cfg.output_dir, "results.json")
+        with open(out, "w") as f:
+            json.dump({"metrics": metrics, "results": results}, f)
+        LOGGER.info("wrote %s", out)
+    return metrics
+
+
+def main():
+    cfg = get_video_retrieval_args()
+    if cfg.get("do_inference"):
+        start_inference(cfg)
+    else:
+        start_training(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -43,7 +43,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = s * scale + bias_ref[:]  # bias block (1, Sk) broadcasts over rows
+    s = s * scale + bias_ref[0]  # bias block (1, 1, Sk) broadcasts over rows
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -66,13 +66,15 @@ def _fused_attention_fwd_impl(q, k, v, bias, scale):
     biasp = jnp.pad(
         bias.astype(jnp.float32), ((0, 0), (0, sk_pad - Sk)),
         constant_values=_NEG_INF,
-    )
+    )[:, None, :]  # (B, 1, sk_pad): block dims equal array dims (TPU tiling)
 
     qp = qp.reshape(B * H, sq_pad, D)
     kp = kp.reshape(B * H, sk_pad, D)
     vp = vp.reshape(B * H, sk_pad, D)
 
     grid = (B * H,)
+    # interpret mode lets the same kernel run (slowly) on CPU for tests
+    interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct((B * H, sq_pad, D), q.dtype),
@@ -81,11 +83,12 @@ def _fused_attention_fwd_impl(q, k, v, bias, scale):
             pl.BlockSpec((1, sq_pad, D), lambda i: (i, 0, 0), memory_space=_VMEM),
             pl.BlockSpec((1, sk_pad, D), lambda i: (i, 0, 0), memory_space=_VMEM),
             pl.BlockSpec((1, sk_pad, D), lambda i: (i, 0, 0), memory_space=_VMEM),
-            pl.BlockSpec((1, sk_pad), lambda i: (i // H, 0), memory_space=_VMEM),
+            pl.BlockSpec((1, 1, sk_pad), lambda i: (i // H, 0, 0), memory_space=_VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, sq_pad, D), lambda i: (i, 0, 0), memory_space=_VMEM
         ),
+        interpret=interpret,
     )(qp, kp, vp, biasp)
     return out.reshape(B, H, sq_pad, D)[:, :, :Sq, :]
 

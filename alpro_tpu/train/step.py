@@ -42,6 +42,20 @@ def _train_rngs(rng: jax.Array) -> Dict[str, jax.Array]:
     return {"dropout": d, "droppath": p}
 
 
+def _prep_pixels(x: jnp.ndarray) -> jnp.ndarray:
+    """uint8 batches normalize on device (CLIP stats) — the jitted equivalent
+    of the reference's GPU ImageNorm prefetch normalize
+    (`src/datasets/data_utils.py:437-457`); float batches pass through
+    (assumed pre-normalized)."""
+    if x.dtype == jnp.uint8:
+        from alpro_tpu.data.transforms import IMAGE_MEAN_CLIP, IMAGE_STD_CLIP
+
+        mean = jnp.asarray(IMAGE_MEAN_CLIP, jnp.float32)
+        std = jnp.asarray(IMAGE_STD_CLIP, jnp.float32)
+        return (x.astype(jnp.float32) / 255.0 - mean) / std
+    return x
+
+
 def _alignment_forward(
     model: AlproModel, variables, batch, rng, train: bool
 ) -> Dict[str, jnp.ndarray]:
@@ -49,7 +63,7 @@ def _alignment_forward(
     rngs = _train_rngs(jax.random.fold_in(rng, 0)) if train else None
     det = not train
     video_embeds = model.apply(
-        variables, batch["visual_inputs"], det, method=model.embed_video,
+        variables, _prep_pixels(batch["visual_inputs"]), det, method=model.embed_video,
         rngs=rngs,
     )
     rngs2 = _train_rngs(jax.random.fold_in(rng, 1)) if train else None
@@ -165,7 +179,7 @@ def make_retrieval_inference_fn(model: AlproModel) -> Callable:
 
     def infer(params, batch):
         video_embeds = model.apply(
-            params, batch["visual_inputs"], method=model.embed_video
+            params, _prep_pixels(batch["visual_inputs"]), method=model.embed_video
         )
         text_embeds = model.apply(
             params, batch["text_input_ids"], batch["text_input_mask"],
@@ -216,7 +230,7 @@ def _qa_logits(model, params, batch, rng, train: bool):
     det = not train
     rngs = _train_rngs(jax.random.fold_in(rng, 0)) if train else None
     video_embeds = model.apply(
-        params, batch["visual_inputs"], det, method=model.embed_video, rngs=rngs
+        params, _prep_pixels(batch["visual_inputs"]), det, method=model.embed_video, rngs=rngs
     )
     rngs = _train_rngs(jax.random.fold_in(rng, 1)) if train else None
     text_embeds = model.apply(
