@@ -37,21 +37,14 @@ from alpro_tpu.train.step import shard_step
 
 
 def setup_environment(cfg: Config):
-    np.random.seed(cfg.get("seed", 42))
+    from alpro_tpu.core.misc import save_training_meta, set_random_seed
+
+    set_random_seed(cfg.get("seed", 42))
     if cfg.get("output_dir"):
         os.makedirs(cfg.output_dir, exist_ok=True)
         add_log_to_file(os.path.join(cfg.output_dir, "log", "log.txt"))
         TB_LOGGER.create(os.path.join(cfg.output_dir, "log"))
-        with open(os.path.join(cfg.output_dir, "log", "args.json"), "w") as f:
-            json.dump({k: v for k, v in cfg.items() if _jsonable(v)}, f, indent=2)
-
-
-def _jsonable(v) -> bool:
-    try:
-        json.dumps(v)
-        return True
-    except (TypeError, ValueError):
-        return False
+        save_training_meta(cfg.output_dir, cfg)
 
 
 def compute_dtype(cfg: Config):
@@ -75,6 +68,7 @@ def build_model_from_cfg(cfg: Config, task: str) -> AlproModel:
         attn_drop_rate=vis_dict.get("attn_drop_rate", 0.0),
         drop_path_rate=vis_dict.get("drop_path_rate", 0.1),
         attn_impl=cfg.get("attn_impl", "auto"),
+        gradient_checkpointing=bool(vis_dict.get("gradient_checkpointing", False)),
     )
     dtype = compute_dtype(cfg)
     if task == "retrieval":
@@ -152,14 +146,13 @@ def setup_training(cfg: Config, model: AlproModel, make_step: Callable,
     `extra_repl_args` — number of additional replicated positional args the
     step takes after (state, batch, rng) (e.g. teacher params + prompt bank
     for pretraining)."""
-    num_train_steps = int(
-        math.ceil(
-            cfg.num_train_epochs * steps_per_epoch
-            / cfg.get("gradient_accumulation_steps", 1)
-        )
-    )
+    accum = int(cfg.get("gradient_accumulation_steps", 1))
+    # the loop iterates micro-steps; the LR schedule and optimizer step on
+    # accumulation boundaries
+    num_train_steps = int(math.ceil(cfg.num_train_epochs * steps_per_epoch))
+    num_opt_steps = int(math.ceil(num_train_steps / accum))
     sched = get_lr_schedule(
-        cfg.get("decay", "linear"), cfg.learning_rate, num_train_steps,
+        cfg.get("decay", "linear"), cfg.learning_rate, num_opt_steps,
         warmup_ratio=cfg.get("warmup_ratio", 0.1),
     )
     tx = build_optimizer(
@@ -168,6 +161,7 @@ def setup_training(cfg: Config, model: AlproModel, make_step: Callable,
         weight_decay=cfg.get("weight_decay", 0.0),
         apply_weight_decay=bool(cfg.get("apply_weight_decay", False)),
         grad_norm=cfg.get("grad_norm", None),
+        accum_steps=accum,
     )
 
     params = init_params(model, cfg, seed=cfg.get("seed", 42))

@@ -188,13 +188,28 @@ class VideoQADataset(VideoDatasetBase):
 
 
 class PretrainVideoDataset(VideoDatasetBase):
-    """WebVid-style (video, caption) rows; optionally with MPM erase views."""
+    """WebVid-style (video, caption) rows. Training applies the temporally
+    consistent RandAugment after the crop (`dataset_pretrain_sparse.py:61,
+    115-118`)."""
+
+    def __init__(self, *args, use_randaug: bool = True, **kw):
+        super().__init__(*args, **kw)
+        self.randaug = None
+        if use_randaug and self.is_train:
+            from alpro_tpu.data.randaugment import TemporalConsistentRandomAugment
+
+            self.randaug = TemporalConsistentRandomAugment(
+                N=2, M=5, rng=self.rng
+            )
 
     def __getitem__(self, index: int) -> Dict:
         ex = self.get_with_retry(index)
+        clip = ex["clip"]
+        if self.randaug is not None:
+            clip = self.randaug(clip)
         return {
             "caption": ex["txt"],
-            "clip": ex["clip"],
+            "clip": clip,
             "type": "video",
         }
 

@@ -45,6 +45,8 @@ class BertConfig:
     fusion_layer: int = 6
     initializer_range: float = 0.02
     attn_impl: str = "auto"
+    # per-layer remat (HF-style gradient checkpointing, `xbert.py:569-591`)
+    gradient_checkpointing: bool = False
 
     @classmethod
     def from_json_dict(cls, d: dict) -> "BertConfig":
@@ -153,8 +155,14 @@ class BertModel(nn.Module):
 
     def setup(self):
         self.embeddings = BertEmbeddings(self.cfg, dtype=self.dtype)
+        layer_cls = BertLayer
+        if self.cfg.gradient_checkpointing:
+            layer_cls = nn.remat(
+                BertLayer, static_argnums=(3,),
+                policy=jax.checkpoint_policies.nothing_saveable,
+            )
         self.layers = [
-            BertLayer(self.cfg, dtype=self.dtype, name=f"layer_{i}")
+            layer_cls(self.cfg, dtype=self.dtype, name=f"layer_{i}")
             for i in range(self.cfg.num_hidden_layers)
         ]
 

@@ -58,6 +58,10 @@ class TimeSformerConfig:
     drop_path_rate: float = 0.1
     ln_eps: float = 1e-6
     attn_impl: str = "auto"
+    # rematerialize each block on the backward pass (the reference's
+    # per-block CheckpointFunction, `src/utils/grad_ckpt.py:23-42` used at
+    # `timesformer/vit.py:150-208`); on TPU this trades HBM for FLOPs
+    gradient_checkpointing: bool = False
 
     @property
     def patches_per_side(self) -> int:
@@ -77,6 +81,9 @@ class TimeSformerConfig:
             drop_rate=video_enc_cfg.get("drop_rate", 0.0),
             attn_drop_rate=video_enc_cfg.get("attn_drop_rate", 0.0),
             drop_path_rate=video_enc_cfg.get("drop_path_rate", 0.1),
+            gradient_checkpointing=bool(
+                video_enc_cfg.get("gradient_checkpointing", False)
+            ),
         )
 
 
@@ -276,8 +283,14 @@ class TimeSformer(nn.Module):
             cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
             for i in range(cfg.depth)
         ]
+        block_cls = DividedSTBlock
+        if cfg.gradient_checkpointing:
+            block_cls = nn.remat(
+                DividedSTBlock, static_argnums=(3,),
+                policy=jax.checkpoint_policies.nothing_saveable,
+            )
         for i in range(cfg.depth):
-            cls, x = DividedSTBlock(
+            cls, x = block_cls(
                 cfg, drop_path=dpr[i], dtype=self.dtype, name=f"blocks_{i}"
             )(cls, x, deterministic)
 

@@ -110,7 +110,14 @@ def build_optimizer(
     weight_decay: float = 0.0,
     apply_weight_decay: bool = False,
     grad_norm: Optional[float] = None,
+    accum_steps: int = 1,
 ) -> optax.GradientTransformation:
+    """`accum_steps > 1` wraps in optax.MultiSteps: gradients average over k
+    micro-batches before one optimizer update — the reference's
+    gradient_accumulation_steps with delayed allreduce
+    (`run_video_retrieval.py:438-447`); under GSPMD the grads psum every
+    micro-step instead, which is equivalent math with more comm (acceptable:
+    comm rides ICI and overlaps)."""
     txs = []
     if grad_norm is not None and grad_norm > 0:
         txs.append(optax.clip_by_global_norm(grad_norm))
@@ -125,4 +132,7 @@ def build_optimizer(
             mask=_wd_mask if wd > 0 else None,
         )
     )
-    return optax.chain(*txs)
+    tx = optax.chain(*txs)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
