@@ -40,11 +40,19 @@ def setup_environment(cfg: Config):
     from alpro_tpu.core.misc import save_training_meta, set_random_seed
 
     set_random_seed(cfg.get("seed", 42))
+    apply_pixel_stats(cfg)
     if cfg.get("output_dir"):
         os.makedirs(cfg.output_dir, exist_ok=True)
         add_log_to_file(os.path.join(cfg.output_dir, "log", "log.txt"))
         TB_LOGGER.create(os.path.join(cfg.output_dir, "log"))
         save_training_meta(cfg.output_dir, cfg)
+
+
+def apply_pixel_stats(cfg: Config) -> None:
+    if cfg.get("img_pixel_mean") and cfg.get("img_pixel_std"):
+        from alpro_tpu.train.step import set_default_pixel_stats
+
+        set_default_pixel_stats(cfg.img_pixel_mean, cfg.img_pixel_std)
 
 
 def compute_dtype(cfg: Config):

@@ -41,6 +41,36 @@ def load_json(path: str):
         return json.load(f)
 
 
+def mk_input_group(
+    key_txt_pairs: Sequence[tuple],
+    max_n_example_per_group: int = 2,
+    is_train: bool = True,
+    rng: Optional[np.random.Generator] = None,
+) -> List[tuple]:
+    """Group (key, example) pairs by key into chunks of at most
+    max_n_example_per_group — the reference's group-by-video batching
+    (`data_utils.py:460-522`); eval keeps one example per group."""
+    rng = rng or np.random.default_rng()
+    by_key: Dict = {}
+    for k, ex in key_txt_pairs:
+        by_key.setdefault(k, []).append(ex)
+    groups: List[tuple] = []
+    for k, examples in by_key.items():
+        if is_train:
+            examples = list(examples)
+            rng.shuffle(examples)
+            for start in range(0, len(examples), max_n_example_per_group):
+                groups.append((k, examples[start : start + max_n_example_per_group]))
+        else:
+            for ex in examples:
+                groups.append((k, [ex]))
+    # invariant check mirroring `data_utils.py:514-522`
+    n_in = len(key_txt_pairs)
+    n_out = sum(len(exs) for _, exs in groups)
+    assert n_in == n_out, f"group-by dropped examples: {n_in} -> {n_out}"
+    return groups
+
+
 def _find_video(vid_dir: str, vid_id: str) -> Optional[str]:
     for ext in (".npy", ".npz", ".mp4", ".webm", ".avi", ".mkv", ""):
         p = os.path.join(vid_dir, f"{vid_id}{ext}")

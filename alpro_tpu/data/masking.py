@@ -57,6 +57,48 @@ def mask_batch_text_tokens(
     return inputs, labels
 
 
+def select_text_pivots(
+    inputs: np.ndarray,
+    tokenizer,
+    ent2id: dict,
+    pivot_probability: float = 1.0,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Whole-word entity pivot labeling (text-pivot pretrain variant).
+
+    Reference: `data_utils.py:73-179` `select_batch_text_pivots` — choose
+    non-special positions, group consecutive BPE pieces into words, and label
+    the *first* piece of each selected word with its entity id from `ent2id`
+    (-100 elsewhere, and for words not in the entity vocabulary).
+
+    Returns (labels, word_start_mask)."""
+    rng = rng or np.random.default_rng()
+    B, L = inputs.shape
+    labels = np.full((B, L), IGNORE_INDEX, dtype=np.int64)
+    word_start = np.zeros((B, L), dtype=bool)
+    for b in range(B):
+        toks = tokenizer.convert_ids_to_tokens([int(t) for t in inputs[b]])
+        special = tokenizer.get_special_tokens_mask(
+            [int(t) for t in inputs[b]], already_has_special_tokens=True
+        )
+        i = 0
+        while i < L:
+            if special[i] or toks[i].startswith("##"):
+                i += 1
+                continue
+            # gather the whole word (this piece + following ## pieces)
+            j = i + 1
+            word = toks[i]
+            while j < L and toks[j].startswith("##") and not special[j]:
+                word += toks[j][2:]
+                j += 1
+            word_start[b, i] = True
+            if word in ent2id and rng.random() < pivot_probability:
+                labels[b, i] = ent2id[word]
+            i = j
+    return labels, word_start
+
+
 def random_erase(
     frames: np.ndarray,
     patch_size: int,

@@ -58,6 +58,9 @@ class TimeSformerConfig:
     drop_path_rate: float = 0.1
     ln_eps: float = 1e-6
     attn_impl: str = "auto"
+    # 'divided_space_time' (ALPRO default) | 'joint_space_time' | 'space_only'
+    # (`vit.py:110-111,140-143`)
+    attention_type: str = "divided_space_time"
     # rematerialize each block on the backward pass (the reference's
     # per-block CheckpointFunction, `src/utils/grad_ckpt.py:23-42` used at
     # `timesformer/vit.py:150-208`); on TPU this trades HBM for FLOPs
@@ -221,6 +224,41 @@ class DividedSTBlock(nn.Module):
         return cls, x
 
 
+class JointBlock(nn.Module):
+    """Plain pre-norm ViT block over the full token sequence — used for the
+    joint_space_time and space_only attention variants (`vit.py:140-143`)."""
+
+    cfg: TimeSformerConfig
+    drop_path: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y, deterministic: bool = True):
+        cfg = self.cfg
+
+        def dp(v):
+            if deterministic or self.drop_path == 0.0:
+                return v
+            keep_prob = 1.0 - self.drop_path
+            keep = jax.random.bernoulli(
+                self.make_rng("droppath"), keep_prob,
+                (v.shape[0],) + (1,) * (v.ndim - 1),
+            )
+            return v * keep.astype(v.dtype) / keep_prob
+
+        a = VitAttention(
+            cfg.num_heads, dtype=self.dtype,
+            attn_drop_rate=cfg.attn_drop_rate, proj_drop_rate=cfg.drop_rate,
+            attn_impl=cfg.attn_impl, name="attn",
+        )(LayerNorm(cfg.ln_eps, dtype=self.dtype, name="norm1")(y), deterministic)
+        y = y + dp(a)
+        m = Mlp(
+            int(y.shape[-1] * cfg.mlp_ratio), dropout_rate=cfg.drop_rate,
+            dtype=self.dtype, name="mlp",
+        )(LayerNorm(cfg.ln_eps, dtype=self.dtype, name="norm2")(y), deterministic)
+        return y + dp(m)
+
+
 class TimeSformer(nn.Module):
     cfg: TimeSformerConfig
     dtype: jnp.dtype = jnp.float32
@@ -276,23 +314,46 @@ class TimeSformer(nn.Module):
         x = x + pos_patch[:, None, :, :].astype(x.dtype)
         x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
         cls = nn.Dropout(cfg.drop_rate)(cls, deterministic=deterministic)
-        x = x + te[:, :, None, :].astype(x.dtype)
-        x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
+        if cfg.attention_type != "space_only":
+            x = x + te[:, :, None, :].astype(x.dtype)
+            x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
 
         dpr = [
             cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
             for i in range(cfg.depth)
         ]
-        block_cls = DividedSTBlock
-        if cfg.gradient_checkpointing:
-            block_cls = nn.remat(
-                DividedSTBlock, static_argnums=(3,),
-                policy=jax.checkpoint_policies.nothing_saveable,
-            )
-        for i in range(cfg.depth):
-            cls, x = block_cls(
-                cfg, drop_path=dpr[i], dtype=self.dtype, name=f"blocks_{i}"
-            )(cls, x, deterministic)
+        if cfg.attention_type == "divided_space_time":
+            block_cls = DividedSTBlock
+            if cfg.gradient_checkpointing:
+                block_cls = nn.remat(
+                    DividedSTBlock, static_argnums=(3,),
+                    policy=jax.checkpoint_policies.nothing_saveable,
+                )
+            for i in range(cfg.depth):
+                cls, x = block_cls(
+                    cfg, drop_path=dpr[i], dtype=self.dtype, name=f"blocks_{i}"
+                )(cls, x, deterministic)
+        elif cfg.attention_type == "joint_space_time":
+            y = jnp.concatenate([cls, x.reshape(B, T * N, D)], axis=1)
+            for i in range(cfg.depth):
+                y = JointBlock(
+                    cfg, drop_path=dpr[i], dtype=self.dtype, name=f"blocks_{i}"
+                )(y, deterministic)
+            cls, x = y[:, :1], y[:, 1:].reshape(B, T, N, D)
+        elif cfg.attention_type == "space_only":
+            # each frame runs independently; temporal mean-pool of everything
+            # (incl. CLS) afterwards (`vit.py:368-371`)
+            cls_rep = jnp.broadcast_to(cls[:, None, :, :], (B, T, 1, D)).astype(x.dtype)
+            y = jnp.concatenate([cls_rep, x], axis=2).reshape(B * T, 1 + N, D)
+            for i in range(cfg.depth):
+                y = JointBlock(
+                    cfg, drop_path=dpr[i], dtype=self.dtype, name=f"blocks_{i}"
+                )(y, deterministic)
+            y = y.reshape(B, T, 1 + N, D).mean(axis=1)
+            cls, x = y[:, :1], y[:, 1:][:, None, :, :]  # T collapsed to 1
+            T = 1
+        else:
+            raise ValueError(f"invalid attention_type {cfg.attention_type!r}")
 
         norm = LayerNorm(cfg.ln_eps, dtype=self.dtype, name="norm")
         cls = norm(cls)

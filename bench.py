@@ -1,26 +1,32 @@
 """Benchmark: decode→embed throughput (clips/sec/chip) on the real TPU chip.
 
 Measures the north-star metric from BASELINE.json: clips/sec/chip through the
-input→TimeSformer-B/16 embed path (8×224×224 frames, bf16 compute), including
-host-side clip supply, host→device transfer, and on-device normalize — the
-jitted equivalent of the reference's decord→PrefetchLoader(ImageNorm)→
-TimeSformer hot path (`/root/reference/src/datasets/dataloader.py:86-160`,
+input→TimeSformer-B/16 embed path (8×224×224 frames, bf16 compute) including
+host-side clip supply, host→device transfer (uint8, pipelined against
+compute), and on-device normalize — the jitted equivalent of the reference's
+decord→PrefetchLoader(ImageNorm)→TimeSformer hot path
+(`/root/reference/src/datasets/dataloader.py:86-160`,
 `src/modeling/timesformer/vit.py:321-377`).
+
+Timing notes for this environment: the TPU is reached through a tunnel whose
+`block_until_ready` does not reliably block, so the measured region is closed
+by a device→host readback of an accumulated scalar (forces every queued step
+to finish); dispatches are chained so per-call host latency amortizes.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md), so
 the A100 figure is *derived*: the reference pipeline is decode-bound — decord
 seek+decode+resize of an 8-frame 256p clip costs ~15-25 ms of CPU per clip and
-the released configs run 4 dataloader workers (`config_release/msrvtt_ret.json:
-num_workers=4`), i.e. ~55-65 clips/s/GPU sustained into the model; the model
-itself (~0.17 TFLOP/clip fp16) is not the bottleneck at that rate. We use
+the released configs run 4 dataloader workers (`config_release/msrvtt_ret.json`
+num_workers=4), i.e. ~55-65 clips/s/GPU sustained into the model. We use
 A100_BASELINE = 60 clips/s/chip; vs_baseline = ours / 60 (target ≥ 5.0).
 """
 
 import json
+import queue
+import threading
 import time
 
 import numpy as np
-
 
 A100_BASELINE_CLIPS_PER_SEC = 60.0
 
@@ -29,45 +35,62 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from alpro_tpu.data.transforms import IMAGE_MEAN_CLIP, IMAGE_STD_CLIP
-    from alpro_tpu.models import TimeSformerConfig, TimeSformer
+    from alpro_tpu.models import TimeSformer, TimeSformerConfig
 
     B, T, S = 16, 8, 224
+    n_iters = 16
     cfg = TimeSformerConfig(
         img_size=S, patch_size=16, num_frames=T, embed_dim=768, depth=12,
         num_heads=12, drop_path_rate=0.0,
     )
     model = TimeSformer(cfg, dtype=jnp.bfloat16)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, T, S, S, 3), jnp.bfloat16)
+    )
+
+    from alpro_tpu.data.transforms import IMAGE_MEAN_CLIP, IMAGE_STD_CLIP
+
+    mean = jnp.asarray(IMAGE_MEAN_CLIP, jnp.float32)
+    std = jnp.asarray(IMAGE_STD_CLIP, jnp.float32)
+
+    @jax.jit
+    def embed_checksum(params, raw_uint8):
+        x = (raw_uint8.astype(jnp.float32) / 255.0 - mean) / std
+        out = model.apply(params, x.astype(jnp.bfloat16))
+        return out.astype(jnp.float32).sum()
 
     rng = np.random.RandomState(0)
-    # synthetic raw uint8 clips (decode stand-in: raw-frame supply)
     host_clips = [
         rng.randint(0, 255, size=(B, T, S, S, 3), dtype=np.uint8)
         for _ in range(4)
     ]
 
-    mean = jnp.asarray(IMAGE_MEAN_CLIP, jnp.float32)
-    std = jnp.asarray(IMAGE_STD_CLIP, jnp.float32)
+    # compile + verify readback works
+    t0 = time.perf_counter()
+    first = float(embed_checksum(params, jax.device_put(host_clips[0])))
+    compile_s = time.perf_counter() - t0
+    assert np.isfinite(first)
 
-    params = model.init({"params": jax.random.PRNGKey(0)},
-                        jnp.zeros((1, T, S, S, 3), jnp.bfloat16))
+    # pipelined run: a staging thread device_puts batch k+1 while batch k
+    # computes; dispatches chain into an accumulator, one readback at the end
+    q: "queue.Queue" = queue.Queue(maxsize=2)
 
-    @jax.jit
-    def embed(params, raw_uint8):
-        x = (raw_uint8.astype(jnp.bfloat16) / 255.0 - mean.astype(jnp.bfloat16)) / std.astype(jnp.bfloat16)
-        return model.apply(params, x)
+    def stage():
+        for i in range(n_iters):
+            q.put(jax.device_put(host_clips[i % len(host_clips)]))
+        q.put(None)
 
-    # warmup / compile
-    out = embed(params, jnp.asarray(host_clips[0]))
-    out.block_until_ready()
-
-    # steady state: host supply + H2D + normalize + embed
-    n_iters = 20
-    start = time.perf_counter()
-    for i in range(n_iters):
-        out = embed(params, jnp.asarray(host_clips[i % len(host_clips)]))
-    out.block_until_ready()
-    elapsed = time.perf_counter() - start
+    threading.Thread(target=stage, daemon=True).start()
+    t0 = time.perf_counter()
+    acc = None
+    while True:
+        x = q.get()
+        if x is None:
+            break
+        r = embed_checksum(params, x)
+        acc = r if acc is None else acc + r
+    _ = float(acc)  # closes the measured region (forces completion)
+    elapsed = time.perf_counter() - t0
 
     clips_per_sec = B * n_iters / elapsed
     print(
