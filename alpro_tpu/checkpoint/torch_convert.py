@@ -118,6 +118,73 @@ def convert_timesformer(
     return out
 
 
+def convert_imagenet_vit(
+    sd: Dict[str, np.ndarray],
+    prefix: str = "",
+    num_patches: Optional[int] = None,
+    depth: int = 12,
+) -> dict:
+    """timm/imagenet ViT state dict → TimeSformer init (partial tree).
+
+    Reference rules (`helpers.py:262-313` load_pretrained_imagenet +
+    `vit.py:289-298` init): spatial attention weights are duplicated into the
+    temporal attention, `norm1` into `temporal_norm1`, `temporal_fc` is zeroed
+    for every block except block 0 (which keeps its random init — hence
+    absent from the returned tree), and `time_embed` keeps its zero init.
+    Merge the result over a freshly initialized model with
+    `cli/common.py::merge_params`.
+    """
+    p = prefix
+    pos_embed = sd[p + "pos_embed"]
+    if num_patches is not None and pos_embed.shape[1] != num_patches + 1:
+        pos_embed = resize_spatial_embedding(pos_embed, num_patches)
+    conv_w = sd[p + "patch_embed.proj.weight"]
+    patch_kernel = np.ascontiguousarray(
+        conv_w.transpose(2, 3, 1, 0).reshape(-1, conv_w.shape[0])
+    )
+    out = {
+        "cls_token": sd[p + "cls_token"],
+        "pos_embed": pos_embed,
+        "patch_embed": {
+            "kernel": patch_kernel,
+            "bias": sd[p + "patch_embed.proj.bias"],
+        },
+        "norm": _ln(sd, p + "norm."),
+    }
+    D = conv_w.shape[0]
+    for i in range(depth):
+        bp = f"{p}blocks.{i}."
+        attn = _convert_vit_attention(sd, bp + "attn.")
+        block = {
+            "norm1": _ln(sd, bp + "norm1."),
+            "norm2": _ln(sd, bp + "norm2."),
+            "temporal_norm1": _ln(sd, bp + "norm1."),
+            "attn": attn,
+            "temporal_attn": {k: dict(v) for k, v in attn.items()},
+            "mlp": {
+                "fc1": _dense(sd, bp + "mlp.fc1."),
+                "fc2": _dense(sd, bp + "mlp.fc2."),
+            },
+        }
+        if i > 0:
+            block["temporal_fc"] = {
+                "kernel": np.zeros((D, D), np.float32),
+                "bias": np.zeros((D,), np.float32),
+            }
+        out[f"blocks_{i}"] = block
+    return out
+
+
+# The reference's three TimeSformer init families (`helpers.py:191-352`):
+#   * imagenet timm ViT (`load_pretrained_imagenet`) → convert_imagenet_vit
+#   * CLIP ViT-B/16 in ViT key format (`load_pretrained_CLIP_ViT`) — same
+#     spatial→temporal duplication rule → convert_imagenet_vit
+#   * Kinetics TimeSformer (`load_pretrained_kinetics`) — all keys native,
+#     just pos/time-embed resizing → convert_timesformer
+convert_clip_vit = convert_imagenet_vit
+convert_kinetics_timesformer = convert_timesformer
+
+
 def convert_bert(
     sd: Dict[str, np.ndarray],
     prefix: str = "text_encoder.bert.",

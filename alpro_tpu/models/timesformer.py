@@ -296,10 +296,10 @@ class TimeSformer(nn.Module):
             nn.initializers.truncated_normal(0.02),
             (1, cfg.num_patches + 1, D),
         )
+        # zeros, matching the reference init (`vit.py:266-268`: trunc-normal is
+        # applied to pos_embed/cls_token only; time_embed starts at zero)
         time_embed = self.param(
-            "time_embed",
-            nn.initializers.truncated_normal(0.02),
-            (1, cfg.num_frames, D),
+            "time_embed", nn.initializers.zeros, (1, cfg.num_frames, D)
         )
 
         pos_cls, pos_patch = pos_embed[:, :1], pos_embed[:, 1:]
