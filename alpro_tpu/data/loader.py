@@ -32,7 +32,12 @@ class BatchLoader:
         shuffle: bool = True,
         drop_last: bool = True,
         seed: int = 0,
+        num_shards: int = 1,
+        shard_id: int = 0,
     ):
+        """num_shards/shard_id shard the (seed-synchronized) shuffled order
+        across hosts — the DistributedSampler role
+        (`run_video_retrieval.py:115-117`)."""
         self.dataset = dataset
         self.collator = collator
         self.batch_size = batch_size
@@ -40,19 +45,23 @@ class BatchLoader:
         self.drop_last = drop_last
         self._epoch = 0
         self._seed = seed
+        self.num_shards = num_shards
+        self.shard_id = shard_id
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[Dict]:
-        n = len(self.dataset)
-        order = np.arange(n)
+        order = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(self._seed + self._epoch)
             rng.shuffle(order)
+        if self.num_shards > 1:
+            order = order[self.shard_id :: self.num_shards]
+        n = len(order)
         self._epoch += 1
         end = n - (n % self.batch_size) if self.drop_last else n
         for start in range(0, end, self.batch_size):

@@ -186,6 +186,80 @@ def make_retrieval_train_step(
     return step
 
 
+def make_text_encode_fn(model: AlproModel) -> Callable:
+    """Text-tower-only forward: (ids, mask) → (text_embeds, text_feat).
+
+    The text tower is video-independent, so retrieval eval encodes each text
+    exactly once and reuses the embeddings for every video — the reference
+    recomputes the text half per (video, text-chunk) pair
+    (`run_video_retrieval.py:644-670`), i.e. ~N_videos× redundant BERT work.
+    """
+
+    def encode(params, batch):
+        text_embeds = model.apply(
+            params, batch["text_input_ids"], batch["text_input_mask"],
+            method=model.embed_text,
+        )
+        tfeat = model.apply(params, text_embeds, method=model.text_feat)
+        return text_embeds, tfeat
+
+    return encode
+
+
+def make_retrieval_pair_fn(model: AlproModel) -> Callable:
+    """Score one video against a chunk of pre-encoded texts: returns
+    (itc_scores (N,), itm_logits (N, 2))."""
+
+    def score(params, pixels, text_embeds, text_mask, text_feat):
+        video_embeds = model.apply(
+            params, _prep_pixels(pixels), method=model.embed_video
+        )
+        vfeat = model.apply(params, video_embeds, method=model.video_feat)
+        temp = model.apply(params, method=model.temperature)
+        itc = (vfeat @ text_feat.T / temp)[0]
+        n_text = text_embeds.shape[0]
+        video_rep = jnp.broadcast_to(
+            video_embeds, (n_text,) + video_embeds.shape[1:]
+        )
+        fusion = model.apply(
+            params, text_embeds, text_mask, video_rep, method=model.fuse
+        )
+        logits = model.apply(params, fusion[:, 0, :], method=model.itm_logits)
+        return itc, logits
+
+    return score
+
+
+def make_video_embed_fn(model: AlproModel) -> Callable:
+    """Video-tower-only forward (pixels → (video_embeds, video_feat))."""
+
+    def embed(params, pixels):
+        video_embeds = model.apply(
+            params, _prep_pixels(pixels), method=model.embed_video
+        )
+        vfeat = model.apply(params, video_embeds, method=model.video_feat)
+        return video_embeds, vfeat
+
+    return embed
+
+
+def make_fusion_score_fn(model: AlproModel) -> Callable:
+    """VTM logits for pre-encoded (text, video) pairs."""
+
+    def score(params, text_embeds, text_mask, video_embeds):
+        n_text = text_embeds.shape[0]
+        if video_embeds.shape[0] == 1 and n_text > 1:
+            video_embeds = jnp.broadcast_to(
+                video_embeds, (n_text,) + video_embeds.shape[1:]
+            )
+        fusion = model.apply(
+            params, text_embeds, text_mask, video_embeds, method=model.fuse
+        )
+        return model.apply(params, fusion[:, 0, :], method=model.itm_logits)
+
+    return score
+
+
 def make_retrieval_inference_fn(model: AlproModel) -> Callable:
     """1 video vs N texts (`alpro_models.py:874-914`): returns VTC sims
     (1, N) and per-pair VTM logits (N, 2)."""

@@ -1,0 +1,102 @@
+"""p50 per-query retrieval latency benchmark (BASELINE.json metric #3).
+
+A "query" is one text arriving against an indexed gallery of videos whose
+embeddings are precomputed (the serving shape of text→video retrieval):
+  1. tokenize + text tower (layers 0..fusion) + projection;
+  2. VTC similarity against the cached video feature bank → top-k candidates;
+  3. VTM rerank: fusion half over [text, cached video tokens] for the top-k.
+
+Usage: python benchmarks/retrieval_latency.py [--gallery 1000] [--topk 16]
+Prints a JSON line with p50/p90 latency in ms.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gallery", type=int, default=1000)
+    ap.add_argument("--topk", type=int, default=16)
+    ap.add_argument("--queries", type=int, default=50)
+    ap.add_argument("--num_frm", type=int, default=8)
+    ap.add_argument("--img_size", type=int, default=224)
+    ap.add_argument("--max_txt_len", type=int, default=40)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from alpro_tpu.models import BertConfig, TimeSformerConfig, build_retrieval_model
+    from alpro_tpu.train.step import make_fusion_score_fn, make_text_encode_fn
+
+    vis = TimeSformerConfig(
+        img_size=args.img_size, patch_size=16, num_frames=args.num_frm,
+        drop_path_rate=0.0,
+    )
+    bert = BertConfig()
+    model = build_retrieval_model(bert, vis, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    L = args.max_txt_len
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, args.num_frm, args.img_size, args.img_size, 3), jnp.bfloat16),
+        jnp.zeros((1, L), jnp.int32), jnp.ones((1, L), jnp.int32),
+    )
+
+    # cached gallery: video token banks would live in HBM in serving; the
+    # latency path only touches the top-k slice of them
+    N = vis.num_patches + 1
+    video_feat_bank = jnp.asarray(
+        rng.randn(args.gallery, 256).astype(np.float32)
+    )
+    video_feat_bank = video_feat_bank / jnp.linalg.norm(
+        video_feat_bank, axis=-1, keepdims=True
+    )
+    topk_tokens = jnp.asarray(
+        rng.randn(args.topk, N, 768).astype(np.float32), jnp.bfloat16
+    )
+
+    encode_text = jax.jit(make_text_encode_fn(model))
+    fusion_score = jax.jit(make_fusion_score_fn(model))
+
+    @jax.jit
+    def query(params, ids, mask, bank, topk_tokens):
+        text_embeds, tfeat = encode_text(params, {
+            "text_input_ids": ids, "text_input_mask": mask,
+        })
+        sims = (tfeat @ bank.T)[0]
+        _top = jax.lax.top_k(sims, args.topk)
+        te_rep = jnp.broadcast_to(
+            text_embeds, (args.topk,) + text_embeds.shape[1:]
+        )
+        mask_rep = jnp.broadcast_to(mask, (args.topk,) + mask.shape[1:])
+        logits = fusion_score(params, te_rep, mask_rep, topk_tokens)
+        return sims, logits
+
+    ids = jnp.asarray(rng.randint(0, 30522, (1, L)).astype(np.int32))
+    mask = jnp.ones((1, L), jnp.int32)
+    sims, logits = query(params, ids, mask, video_feat_bank, topk_tokens)
+    _ = np.asarray(logits)  # compile + sync
+
+    lat = []
+    for i in range(args.queries):
+        ids = jnp.asarray(rng.randint(0, 30522, (1, L)).astype(np.int32))
+        t0 = time.perf_counter()
+        sims, logits = query(params, ids, mask, video_feat_bank, topk_tokens)
+        _ = np.asarray(logits)
+        lat.append((time.perf_counter() - t0) * 1000)
+    lat = np.asarray(lat)
+    print(json.dumps({
+        "metric": f"p50 per-query retrieval latency (gallery={args.gallery}, topk={args.topk} VTM rerank)",
+        "value": round(float(np.percentile(lat, 50)), 2),
+        "unit": "ms",
+        "p90_ms": round(float(np.percentile(lat, 90)), 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
