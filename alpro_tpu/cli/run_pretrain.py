@@ -28,7 +28,7 @@ from alpro_tpu.data.datasets import (
     PretrainCollator,
     PretrainImageDataset,
     PretrainVideoDataset,
-    load_jsonl,
+    load_datalist,
 )
 from alpro_tpu.data.loader import BatchLoader, MetaLoader
 from alpro_tpu.data.tokenization import build_tokenizer
@@ -69,7 +69,7 @@ def build_pretrain_loaders(cfg: Config, tokenizer, use_mpm: bool):
     )
     loaders = {}
     for spec in cfg.train_datasets:
-        rows = load_jsonl(spec.get("ann") or spec["txt"])
+        rows = load_datalist(spec.get("ann") or spec["txt"])
         if cfg.get("data_ratio", 1.0) < 1.0:
             rows = rows[: max(1, int(len(rows) * cfg.data_ratio))]
         if spec.get("type", "video") == "image":

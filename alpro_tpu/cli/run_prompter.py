@@ -11,7 +11,7 @@ from __future__ import annotations
 from alpro_tpu.cli import common
 from alpro_tpu.core.config import Config, get_pretraining_args
 from alpro_tpu.core.logging import LOGGER
-from alpro_tpu.data.datasets import PretrainCollator, PretrainVideoDataset, load_jsonl
+from alpro_tpu.data.datasets import PretrainCollator, PretrainVideoDataset, load_datalist
 from alpro_tpu.data.loader import BatchLoader, InfiniteIterator
 from alpro_tpu.data.tokenization import build_tokenizer
 from alpro_tpu.train.step import make_prompter_train_step
@@ -28,7 +28,7 @@ def start_training(cfg: Config):
     model = common.build_model_from_cfg(cfg, "prompter")
 
     spec = cfg.train_datasets[0]
-    rows = load_jsonl(spec.get("ann") or spec["txt"])
+    rows = load_datalist(spec.get("ann") or spec["txt"])
     if cfg.get("data_ratio", 1.0) < 1.0:
         rows = rows[: max(1, int(len(rows) * cfg.data_ratio))]
     ds = PretrainVideoDataset(

@@ -18,7 +18,7 @@ import numpy as np
 from alpro_tpu.cli import common
 from alpro_tpu.core.config import Config, get_video_qa_args
 from alpro_tpu.core.logging import LOGGER, TB_LOGGER
-from alpro_tpu.data.datasets import QACollator, VideoQADataset, load_json, load_jsonl
+from alpro_tpu.data.datasets import QACollator, VideoQADataset, load_datalist, load_json
 from alpro_tpu.data.loader import BatchLoader, InfiniteIterator
 from alpro_tpu.evals.qa import pool_clip_logits
 from alpro_tpu.train.step import make_qa_inference_fn, make_qa_train_step
@@ -29,7 +29,7 @@ def _mk_datasets(cfg: Config, tokenizer, split="train"):
     txt = spec["txt"]
     if isinstance(txt, dict):
         txt = list(txt.values())[0]
-    rows = load_jsonl(txt)
+    rows = load_datalist(txt)
     if split == "train" and cfg.get("data_ratio", 1.0) < 1.0:
         rows = rows[: max(1, int(len(rows) * cfg.data_ratio))]
     ans2label = load_json(cfg.ans2label_path)

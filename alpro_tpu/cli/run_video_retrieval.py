@@ -24,7 +24,7 @@ from alpro_tpu.data.datasets import (
     RetrievalCollator,
     RetrievalDataset,
     RetrievalEvalDataset,
-    load_jsonl,
+    load_datalist,
 )
 from alpro_tpu.data.loader import BatchLoader, InfiniteIterator
 from alpro_tpu.data.tokenization import build_tokenizer
@@ -33,7 +33,7 @@ from alpro_tpu.train.step import make_retrieval_inference_fn, make_retrieval_tra
 
 
 def _mk_datasets(cfg: Config, tokenizer):
-    train_rows = load_jsonl(cfg.train_datasets[0]["txt"])
+    train_rows = load_datalist(cfg.train_datasets[0]["txt"])
     if cfg.get("data_ratio", 1.0) < 1.0:
         train_rows = train_rows[: max(1, int(len(train_rows) * cfg.data_ratio))]
     train_ds = RetrievalDataset(
@@ -48,7 +48,7 @@ def _mk_datasets(cfg: Config, tokenizer):
         train_ds, collator, cfg.train_batch_size, shuffle=True,
         seed=cfg.get("seed", 42),
     )
-    val_rows = load_jsonl(cfg.val_datasets[0]["txt"])
+    val_rows = load_datalist(cfg.val_datasets[0]["txt"])
     eval_ds = RetrievalEvalDataset(
         val_rows, cfg.val_datasets[0]["img"], num_frm=cfg.num_frm,
         resize_size=cfg.resize_size, crop_size=cfg.crop_img_size,
@@ -210,7 +210,7 @@ def start_inference(cfg: Config):
     txt = cfg.inference_txt_db or cfg.val_datasets[0]["txt"]
     img = cfg.inference_img_db or cfg.val_datasets[0]["img"]
     eval_ds = RetrievalEvalDataset(
-        load_jsonl(txt), img, num_frm=cfg.num_frm,
+        load_datalist(txt), img, num_frm=cfg.num_frm,
         resize_size=cfg.resize_size, crop_size=cfg.crop_img_size,
     )
     results = inference_retrieval(model, params, eval_ds, tokenizer, cfg)

@@ -41,6 +41,44 @@ def load_json(path: str):
         return json.load(f)
 
 
+def load_datalist(path: str) -> List[dict]:
+    """Annotation loader: .jsonl rows, .json lists, or the reference's pandas
+    .pkl WebVid datalists (`dataset_pretrain_sparse.py` pandas pkl,
+    `config_release/pretrain_alpro.json` train.pkl). Rows normalize to
+    {vid_id, txt, ...}."""
+    if path.endswith(".jsonl"):
+        return [_normalize_row(r) for r in load_jsonl(path)]
+    if path.endswith(".json"):
+        data = load_json(path)
+        assert isinstance(data, list), f"{path} must hold a list of rows"
+        return [_normalize_row(r) for r in data]
+    if path.endswith(".pkl"):
+        import pandas as pd
+
+        df = pd.read_pickle(path)
+        return [_normalize_row(r) for r in df.to_dict("records")]
+    raise ValueError(f"unsupported annotation format: {path}")
+
+
+_ID_KEYS = ("vid_id", "video_id", "videoid", "id", "image_id", "clip_id")
+_TXT_KEYS = ("txt", "caption", "name", "text", "sentence")
+
+
+def _normalize_row(row: dict) -> dict:
+    out = dict(row)
+    if "vid_id" not in out:
+        for k in _ID_KEYS:
+            if k in out:
+                out["vid_id"] = str(out[k])
+                break
+    if "txt" not in out:
+        for k in _TXT_KEYS:
+            if k in out:
+                out["txt"] = out[k]
+                break
+    return out
+
+
 def mk_input_group(
     key_txt_pairs: Sequence[tuple],
     max_n_example_per_group: int = 2,

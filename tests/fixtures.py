@@ -77,3 +77,21 @@ def write_qa_dataset(root, n=8, t=4, h=64, w=64, seed=0):
 
 def make_tokenizer():
     return WordPieceTokenizer(make_test_vocab())
+
+
+def write_image_dataset(root, n=6, h=64, w=64, seed=0):
+    """CC3M-style (image, caption) rows as .npy single frames."""
+    import os
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        iid = f"img{i:03d}"
+        np.save(os.path.join(img_dir, f"{iid}.npy"), make_clip(rng, t=1, h=h, w=w, label=i)[0])
+        rows.append({"vid_id": iid, "txt": CAPTIONS[i % len(CAPTIONS)]})
+    ann = os.path.join(root, "img_ann.jsonl")
+    with open(ann, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return ann, img_dir, rows
