@@ -121,6 +121,26 @@ def maybe_load_e2e_weights(params, cfg: Config, remove_text_encoder_prefix=False
     return merge_params(params, loaded)
 
 
+def load_inference_params(model: AlproModel, cfg: Config,
+                          remove_text_encoder_prefix: bool = False):
+    """Inference-time parameter resolution, mirroring the reference
+    (`run_video_retrieval.py:773-780`): `--inference_model_step N` loads the
+    run's own `ckpt/model_step_N` (orbax); otherwise `e2e_weights_path`
+    (converted torch checkpoint); otherwise fresh init."""
+    params = init_params(model, cfg)
+    step = str(cfg.get("inference_model_step", "") or "")
+    if step and cfg.get("output_dir"):
+        from alpro_tpu.checkpoint.orbax_io import load_params
+
+        path = os.path.join(cfg.output_dir, "ckpt", f"model_step_{step}")
+        restored = load_params(path, target=jax.device_get(params))
+        LOGGER.info("loaded inference params from %s", path)
+        return restored
+    return maybe_load_e2e_weights(
+        params, cfg, remove_text_encoder_prefix=remove_text_encoder_prefix
+    )
+
+
 def merge_params(init_tree, loaded_tree):
     """Recursively overlay loaded leaves whose shapes match; report the rest."""
     skipped = []

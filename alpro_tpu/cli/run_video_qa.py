@@ -142,10 +142,7 @@ def start_inference(cfg: Config):
 
     tokenizer = build_tokenizer(cfg.tokenizer_dir)
     model = common.build_model_from_cfg(cfg, "qa")
-    params = common.init_params(model, cfg)
-    params = common.maybe_load_e2e_weights(
-        params, cfg, remove_text_encoder_prefix=False
-    )
+    params = common.load_inference_params(model, cfg)
     ds = _mk_datasets(cfg, tokenizer, "val")
     results = inference_qa(model, params, ds, tokenizer, cfg)
     metrics = ds.evaluate_qa(results)

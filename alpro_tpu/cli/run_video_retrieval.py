@@ -204,8 +204,7 @@ def start_inference(cfg: Config):
                 cfg[k] = Config._wrap(v)
     tokenizer = build_tokenizer(cfg.tokenizer_dir)
     model = common.build_model_from_cfg(cfg, "retrieval")
-    params = common.init_params(model, cfg)
-    params = common.maybe_load_e2e_weights(params, cfg)
+    params = common.load_inference_params(model, cfg)
 
     txt = cfg.inference_txt_db or cfg.val_datasets[0]["txt"]
     img = cfg.inference_img_db or cfg.val_datasets[0]["img"]
