@@ -40,19 +40,11 @@ def setup_environment(cfg: Config):
     from alpro_tpu.core.misc import save_training_meta, set_random_seed
 
     set_random_seed(cfg.get("seed", 42))
-    apply_pixel_stats(cfg)
     if cfg.get("output_dir"):
         os.makedirs(cfg.output_dir, exist_ok=True)
         add_log_to_file(os.path.join(cfg.output_dir, "log", "log.txt"))
         TB_LOGGER.create(os.path.join(cfg.output_dir, "log"))
         save_training_meta(cfg.output_dir, cfg)
-
-
-def apply_pixel_stats(cfg: Config) -> None:
-    if cfg.get("img_pixel_mean") and cfg.get("img_pixel_std"):
-        from alpro_tpu.train.step import set_default_pixel_stats
-
-        set_default_pixel_stats(cfg.img_pixel_mean, cfg.img_pixel_std)
 
 
 def compute_dtype(cfg: Config):
@@ -77,6 +69,9 @@ def build_model_from_cfg(cfg: Config, task: str) -> AlproModel:
         drop_path_rate=vis_dict.get("drop_path_rate", 0.1),
         attn_impl=cfg.get("attn_impl", "auto"),
         gradient_checkpointing=bool(vis_dict.get("gradient_checkpointing", False)),
+        pixel_mean=tuple(cfg.get("img_pixel_mean") or (0.48145466, 0.4578275, 0.40821073)),
+        pixel_std=tuple(cfg.get("img_pixel_std") or (0.26862954, 0.26130258, 0.27577711)),
+        fused_patchify=cfg.get("fused_patchify", "auto"),
     )
     dtype = compute_dtype(cfg)
     if task == "retrieval":

@@ -61,6 +61,12 @@ class MediaDecoder:
             ctypes.c_int,
         ]
         self._lib.alpro_encode_test_video.restype = ctypes.c_int
+        self._lib.alpro_repack_patches.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        self._lib.alpro_repack_patches.restype = ctypes.c_int
 
     def probe(self, path: str) -> Optional[VideoInfo]:
         nf = ctypes.c_int64()
@@ -103,3 +109,19 @@ class MediaDecoder:
 
     def encode_test_video(self, path: str, w=128, h=96, n_frames=30, seed=0) -> bool:
         return self._lib.alpro_encode_test_video(path.encode(), w, h, n_frames, seed) == 0
+
+    def repack_patches(self, frames: np.ndarray, patch_size: int = 16) -> np.ndarray:
+        """(T, H, W, C) uint8 → (T, N, p·p·C) uint8 patch-major layout
+        (the MXU-ready form the patch embedding consumes)."""
+        frames = np.ascontiguousarray(frames, dtype=np.uint8)
+        T, H, W, C = frames.shape
+        p = patch_size
+        out = np.empty((T, (H // p) * (W // p), p * p * C), dtype=np.uint8)
+        rc = self._lib.alpro_repack_patches(
+            frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            T, H, W, C, p,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc != 0:
+            raise ValueError(f"repack failed (rc={rc}): H/W not divisible by {p}")
+        return out

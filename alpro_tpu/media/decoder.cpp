@@ -201,6 +201,38 @@ int alpro_decode_frames(const char* path, const int64_t* indices, int n,
   return (ti == targets.size()) ? 0 : (err ? err : -11);
 }
 
+// Repack HWC uint8 frames into patch-major (N, p*p*C) vectors — the
+// MXU-ready layout the TimeSformer patch embedding consumes. Doing this on
+// the host (one linear pass, cache-friendly) removes the strided patchify
+// transpose from the device entirely.
+//   in:  frames (n_frames, H, W, C) uint8
+//   out: (n_frames, (H/p)*(W/p), p*p*C) uint8
+int alpro_repack_patches(const uint8_t* frames, int n_frames, int H, int W,
+                         int C, int p, uint8_t* out) {
+  if (H % p != 0 || W % p != 0) return -1;
+  const int hp = H / p, wp = W / p;
+  const size_t row_bytes = (size_t)W * C;
+  const size_t patch_row_bytes = (size_t)p * C;
+  const size_t patch_bytes = (size_t)p * p * C;
+  const size_t frame_in = (size_t)H * row_bytes;
+  const size_t frame_out = (size_t)hp * wp * patch_bytes;
+  for (int f = 0; f < n_frames; ++f) {
+    const uint8_t* src = frames + f * frame_in;
+    uint8_t* dst = out + f * frame_out;
+    for (int ph = 0; ph < hp; ++ph) {
+      for (int i = 0; i < p; ++i) {
+        const uint8_t* row = src + ((size_t)(ph * p + i)) * row_bytes;
+        for (int pw = 0; pw < wp; ++pw) {
+          memcpy(dst + ((size_t)(ph * wp + pw)) * patch_bytes +
+                     (size_t)i * patch_row_bytes,
+                 row + (size_t)pw * patch_row_bytes, patch_row_bytes);
+        }
+      }
+    }
+  }
+  return 0;
+}
+
 // Write a procedurally generated MJPEG/AVI clip (test fixture).
 int alpro_encode_test_video(const char* path, int w, int h, int n_frames,
                             int seed) {

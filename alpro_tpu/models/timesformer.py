@@ -61,6 +61,13 @@ class TimeSformerConfig:
     # 'divided_space_time' (ALPRO default) | 'joint_space_time' | 'space_only'
     # (`vit.py:110-111,140-143`)
     attention_type: str = "divided_space_time"
+    # uint8 inputs normalize inside the model with these stats (CLIP defaults,
+    # `config_release/*.json` img_pixel_mean/std)
+    pixel_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
+    pixel_std: tuple = (0.26862954, 0.26130258, 0.27577711)
+    # fuse normalize+patchify+embed into one Pallas kernel for uint8 inputs:
+    # 'auto' (on TPU), 'on', 'off'
+    fused_patchify: str = "auto"
     # rematerialize each block on the backward pass (the reference's
     # per-block CheckpointFunction, `src/utils/grad_ckpt.py:23-42` used at
     # `timesformer/vit.py:150-208`); on TPU this trades HBM for FLOPs
@@ -259,6 +266,40 @@ class JointBlock(nn.Module):
         return y + dp(m)
 
 
+class PatchEmbed(nn.Module):
+    """Patch embedding with two input paths sharing one (p·p·C, D) kernel:
+    pre-extracted patch vectors (XLA), or raw uint8 frames through the fused
+    normalize+patchify+matmul Pallas kernel."""
+
+    cfg: TimeSformerConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        K = cfg.patch_size * cfg.patch_size * 3
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (K, cfg.embed_dim)
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (cfg.embed_dim,)
+        )
+
+    def __call__(self, patches: jnp.ndarray) -> jnp.ndarray:
+        out = patches.astype(self.dtype) @ self.kernel.astype(self.dtype)
+        return out + self.bias.astype(self.dtype)
+
+    def fused(self, raw_uint8: jnp.ndarray) -> jnp.ndarray:
+        from alpro_tpu.ops.pallas_preprocess import fused_patchify_embed
+
+        return fused_patchify_embed(
+            raw_uint8,
+            self.kernel.astype(self.dtype),
+            self.bias.astype(self.dtype),
+            tuple(self.cfg.pixel_mean),
+            tuple(self.cfg.pixel_std),
+        )
+
+
 class TimeSformer(nn.Module):
     cfg: TimeSformerConfig
     dtype: jnp.dtype = jnp.float32
@@ -270,23 +311,51 @@ class TimeSformer(nn.Module):
         pooling: str = "temporal",
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        """pixels: (B, T, H, W, C) normalized float.
+        """pixels — one of:
+          * (B, T, H, W, C) uint8 raw frames (normalized on device with
+            cfg.pixel_mean/std, the reference's GPU ImageNorm role);
+          * (B, T, H, W, C) pre-normalized float;
+          * (B, T, N, p·p·C) pre-patchified uint8/float from the native media
+            lib (`media/decoder.cpp::alpro_repack_patches`) — skips the
+            on-device patchify transpose entirely.
 
         Returns (B, 1+N, D) for pooling in {temporal, spatial}, or
         (B, T, 1+N, D) for pooling == 'none'.
         """
         cfg = self.cfg
-        B, T, H, W, C = pixels.shape
         p = cfg.patch_size
-        hp, wp = H // p, W // p
-        N = hp * wp
         D = cfg.embed_dim
+        pe = PatchEmbed(cfg, dtype=self.dtype, name="patch_embed")
 
-        # patch embedding: extract (p, p, C) patches in (ph, pw, c) order and
-        # project — bit-equivalent to the reference's strided conv
-        x = pixels.reshape(B, T, hp, p, wp, p, C)
-        x = x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, T, N, p * p * C)
-        x = nn.Dense(D, dtype=self.dtype, name="patch_embed")(x)
+        if pixels.ndim == 4:  # pre-patchified (B, T, N, K)
+            B, T, N, K = pixels.shape
+            C = K // (p * p)
+            side = int(round(N ** 0.5))
+            hp, wp = side, side
+            v = pixels
+            if v.dtype == jnp.uint8:
+                # per-column stats: column k ↔ channel k % C
+                mean_k = jnp.tile(jnp.asarray(cfg.pixel_mean, jnp.float32), p * p)
+                std_k = jnp.tile(jnp.asarray(cfg.pixel_std, jnp.float32), p * p)
+                v = (v.astype(jnp.float32) / 255.0 - mean_k) / std_k
+            x = pe(v)
+        else:
+            B, T, H, W, C = pixels.shape
+            hp, wp = H // p, W // p
+            N = hp * wp
+            use_fused = cfg.fused_patchify == "on"
+            if pixels.dtype == jnp.uint8 and use_fused:
+                x = pe.fused(pixels)
+            else:
+                if pixels.dtype == jnp.uint8:
+                    mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
+                    std = jnp.asarray(cfg.pixel_std, jnp.float32)
+                    pixels = (pixels.astype(jnp.float32) / 255.0 - mean) / std
+                # patch extraction in (ph, pw, c) order — bit-equivalent to
+                # the reference's strided conv
+                v = pixels.reshape(B, T, hp, p, wp, p, C)
+                v = v.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, T, N, p * p * C)
+                x = pe(v)
 
         cls_token = self.param(
             "cls_token", nn.initializers.truncated_normal(0.02), (1, 1, D)

@@ -42,30 +42,11 @@ def _train_rngs(rng: jax.Array) -> Dict[str, jax.Array]:
     return {"dropout": d, "droppath": p}
 
 
-_PIXEL_STATS: list = [None]  # (mean, std) override; None → CLIP stats
-
-
-def set_default_pixel_stats(mean, std) -> None:
-    """Override the on-device normalization statistics (config
-    img_pixel_mean/std). Must be called before the step functions trace."""
-    _PIXEL_STATS[0] = (tuple(mean), tuple(std))
-
-
 def _prep_pixels(x: jnp.ndarray) -> jnp.ndarray:
-    """uint8 batches normalize on device — the jitted equivalent of the
-    reference's GPU ImageNorm prefetch normalize
-    (`src/datasets/data_utils.py:437-457`); float batches pass through
-    (assumed pre-normalized)."""
-    if x.dtype == jnp.uint8:
-        if _PIXEL_STATS[0] is not None:
-            mean_t, std_t = _PIXEL_STATS[0]
-        else:
-            from alpro_tpu.data.transforms import IMAGE_MEAN_CLIP, IMAGE_STD_CLIP
-
-            mean_t, std_t = IMAGE_MEAN_CLIP, IMAGE_STD_CLIP
-        mean = jnp.asarray(mean_t, jnp.float32)
-        std = jnp.asarray(std_t, jnp.float32)
-        return (x.astype(jnp.float32) / 255.0 - mean) / std
+    """Pass-through: the TimeSformer normalizes uint8 batches internally
+    (fused Pallas patchify on TPU, XLA elsewhere) with the stats from its
+    config — the reference's GPU ImageNorm role
+    (`src/datasets/data_utils.py:437-457`)."""
     return x
 
 
