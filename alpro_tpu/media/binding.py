@@ -67,6 +67,15 @@ class MediaDecoder:
             ctypes.POINTER(ctypes.c_uint8),
         ]
         self._lib.alpro_repack_patches.restype = ctypes.c_int
+        self._lib.alpro_tok_create.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        self._lib.alpro_tok_create.restype = ctypes.c_void_p
+        self._lib.alpro_tok_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        self._lib.alpro_tok_encode.restype = ctypes.c_int
+        self._lib.alpro_tok_destroy.argtypes = [ctypes.c_void_p]
+        self._lib.alpro_tok_destroy.restype = None
 
     def probe(self, path: str) -> Optional[VideoInfo]:
         nf = ctypes.c_int64()
@@ -110,6 +119,9 @@ class MediaDecoder:
     def encode_test_video(self, path: str, w=128, h=96, n_frames=30, seed=0) -> bool:
         return self._lib.alpro_encode_test_video(path.encode(), w, h, n_frames, seed) == 0
 
+    def make_tokenizer(self, vocab_path: str, lowercase: bool = True) -> "NativeWordPiece":
+        return NativeWordPiece(self._lib, vocab_path, lowercase)
+
     def repack_patches(self, frames: np.ndarray, patch_size: int = 16) -> np.ndarray:
         """(T, H, W, C) uint8 → (T, N, p·p·C) uint8 patch-major layout
         (the MXU-ready form the patch embedding consumes)."""
@@ -125,3 +137,52 @@ class MediaDecoder:
         if rc != 0:
             raise ValueError(f"repack failed (rc={rc}): H/W not divisible by {p}")
         return out
+
+
+class NativeWordPiece:
+    """C++ WordPiece tokenizer exposing the collator-facing surface
+    (same contract as data/tokenization.py::WordPieceTokenizer)."""
+
+    def __init__(self, lib, vocab_path: str, lowercase: bool = True):
+        self._lib = lib
+        self._h = lib.alpro_tok_create(vocab_path.encode(), int(lowercase))
+        if not self._h:
+            raise ValueError(f"failed to load vocab from {vocab_path}")
+        # mirror the special ids by reading the vocab file
+        self.vocab = {}
+        with open(vocab_path, encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                self.vocab[line.rstrip("\n")] = i
+        self.pad_token_id = self.vocab["[PAD]"]
+        self.unk_token_id = self.vocab["[UNK]"]
+        self.cls_token_id = self.vocab["[CLS]"]
+        self.sep_token_id = self.vocab["[SEP]"]
+        self.mask_token_id = self.vocab["[MASK]"]
+        self._special = {
+            self.pad_token_id, self.unk_token_id, self.cls_token_id,
+            self.sep_token_id, self.mask_token_id,
+        }
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    def __call__(self, texts, max_length: int = 40, padding: str = "max_length"):
+        ids = np.full((len(texts), max_length), self.pad_token_id, np.int32)
+        mask = np.zeros((len(texts), max_length), np.int32)
+        for i, t in enumerate(texts):
+            n = self._lib.alpro_tok_encode(
+                self._h, t.encode(), max_length,
+                ids[i].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+            mask[i, :n] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
+    def get_special_tokens_mask(self, ids, already_has_special_tokens=True):
+        return [1 if int(i) in self._special else 0 for i in ids]
+
+    def __del__(self):
+        try:
+            self._lib.alpro_tok_destroy(self._h)
+        except Exception:
+            pass
