@@ -254,8 +254,20 @@ def run_train_loop(
     valid_steps = max(1, num_train_steps // max(cfg.get("num_valid", 10), 1))
     debug = bool(cfg.get("debug", False))
 
+    # --profile 1: trace steps [start+2, start+7) to TensorBoard format
+    profiling = False
     t0 = time.time()
     for global_step in range(start_step, num_train_steps):
+        if cfg.get("profile") and cfg.get("output_dir"):
+            if global_step == start_step + 2 and not profiling:
+                trace_dir = os.path.join(cfg.output_dir, "profile")
+                os.makedirs(trace_dir, exist_ok=True)
+                jax.profiler.start_trace(trace_dir)
+                profiling = True
+            elif global_step == start_step + 7 and profiling:
+                jax.profiler.stop_trace()
+                profiling = False
+                LOGGER.info("wrote profiler trace to %s/profile", cfg.output_dir)
         batch = next(train_iter)
         dbatch = shard_batch(mesh, _drop_non_arrays(batch))
         state, metrics = step_fn(state, dbatch, rng, *step_extra_args)
@@ -281,6 +293,8 @@ def run_train_loop(
         if debug and global_step - start_step >= 3:
             LOGGER.info("debug mode: stopping after %d steps", global_step + 1)
             break
+    if profiling:
+        jax.profiler.stop_trace()
     return state
 
 

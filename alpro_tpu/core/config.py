@@ -159,6 +159,8 @@ def shared_training_args(parser: argparse.ArgumentParser) -> argparse.ArgumentPa
                         choices=["auto", "xla", "pallas"])
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
+    parser.add_argument("--profile", type=int, default=0,
+                        help="trace 5 train steps with jax.profiler")
     return parser
 
 

@@ -88,21 +88,20 @@ class BertSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, attention_mask, deterministic: bool = True):
+        from alpro_tpu.ops.attention import multi_head_attention_bshd
+
         cfg = self.cfg
         B, L, D = x.shape
         H = cfg.num_attention_heads
         hd = D // H
 
-        def split_heads(t):
-            return jnp.moveaxis(t.reshape(B, L, H, hd), 1, 2)
-
-        q = split_heads(nn.Dense(D, dtype=self.dtype, name="query")(x))
-        k = split_heads(nn.Dense(D, dtype=self.dtype, name="key")(x))
-        v = split_heads(nn.Dense(D, dtype=self.dtype, name="value")(x))
+        q = nn.Dense(D, dtype=self.dtype, name="query")(x).reshape(B, L, H, hd)
+        k = nn.Dense(D, dtype=self.dtype, name="key")(x).reshape(B, L, H, hd)
+        v = nn.Dense(D, dtype=self.dtype, name="value")(x).reshape(B, L, H, hd)
         use_drop = (
             cfg.attention_probs_dropout_prob > 0.0 and not deterministic
         )
-        out = multi_head_attention(
+        out = multi_head_attention_bshd(
             q, k, v,
             key_mask=attention_mask,
             impl=cfg.attn_impl,
@@ -110,7 +109,7 @@ class BertSelfAttention(nn.Module):
             dropout_rng=self.make_rng("dropout") if use_drop else None,
             deterministic=deterministic,
         )
-        return jnp.moveaxis(out, 1, 2).reshape(B, L, D)
+        return out.reshape(B, L, D)
 
 
 class BertLayer(nn.Module):

@@ -125,26 +125,25 @@ class VitAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        from alpro_tpu.ops.attention import multi_head_attention_bshd
+
         B, S, D = x.shape
         head_dim = D // self.num_heads
         qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, S, 3, self.num_heads, head_dim)
-        q, k, v = (
-            jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)
-        )  # each (B, H, S, Dh)
         drng = (
             self.make_rng("dropout")
             if (self.attn_drop_rate > 0.0 and not deterministic)
             else None
         )
-        out = multi_head_attention(
-            q, k, v,
+        out = multi_head_attention_bshd(
+            qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
             impl=self.attn_impl,
             dropout_rate=self.attn_drop_rate,
             dropout_rng=drng,
             deterministic=deterministic,
         )
-        out = jnp.moveaxis(out, 1, 2).reshape(B, S, D)
+        out = out.reshape(B, S, D)
         out = nn.Dense(D, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop_rate)(out, deterministic=deterministic)
         return out

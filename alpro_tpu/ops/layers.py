@@ -36,9 +36,13 @@ class LayerNorm(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (dim,), self.param_dtype
         )
+        # one-pass fp32 statistics (E[x²] − E[x]²): a single read of x instead
+        # of the two-pass mean/centered-variance — profiling showed the LN
+        # convert+reduce fusions at ~20 ms/step on the full model
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        mean_sq = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
         return y.astype(self.dtype)
