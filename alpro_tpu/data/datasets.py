@@ -332,17 +332,40 @@ class PretrainImageDataset:
 # --------------------------------------------------------------------------
 # collators
 # --------------------------------------------------------------------------
+def _maybe_patchify(clips: np.ndarray, patchify: bool, patch_size: int) -> np.ndarray:
+    """Optionally repack (B, T, H, W, C) uint8 into the MXU-ready patch-major
+    (B, T, N, p·p·C) layout via the native media lib (falls back to numpy)."""
+    if not patchify:
+        return clips
+    try:
+        from alpro_tpu.media.binding import MediaDecoder
+
+        dec = MediaDecoder()
+        return np.stack([dec.repack_patches(c, patch_size) for c in clips])
+    except Exception:
+        B, T, H, W, C = clips.shape
+        p = patch_size
+        v = clips.reshape(B, T, H // p, p, W // p, p, C)
+        return np.ascontiguousarray(
+            v.transpose(0, 1, 2, 4, 3, 5, 6)
+        ).reshape(B, T, (H // p) * (W // p), p * p * C)
+
+
 class RetrievalCollator:
-    def __init__(self, tokenizer, max_txt_len: int = 40):
+    def __init__(self, tokenizer, max_txt_len: int = 40,
+                 patchify: bool = False, patch_size: int = 16):
         self.tokenizer = tokenizer
         self.max_txt_len = max_txt_len
+        self.patchify = patchify
+        self.patch_size = patch_size
 
     def __call__(self, examples: Sequence[dict]) -> Dict[str, np.ndarray]:
         enc = self.tokenizer(
             [e["caption"] for e in examples], max_length=self.max_txt_len,
         )
+        clips = np.stack([e["clip"] for e in examples])
         return {
-            "visual_inputs": np.stack([e["clip"] for e in examples]),
+            "visual_inputs": _maybe_patchify(clips, self.patchify, self.patch_size),
             "text_input_ids": np.asarray(enc["input_ids"], np.int32),
             "text_input_mask": np.asarray(enc["attention_mask"], np.int32),
         }
