@@ -40,6 +40,12 @@ def setup_environment(cfg: Config):
     from alpro_tpu.core.misc import save_training_meta, set_random_seed
 
     set_random_seed(cfg.get("seed", 42))
+    if jax.process_index() != 0:
+        # non-zero hosts log warnings only (reference: NoOp logger on
+        # ranks != 0, `run_video_retrieval.py:309-310`)
+        import logging
+
+        LOGGER.setLevel(logging.WARNING)
     if cfg.get("output_dir"):
         os.makedirs(cfg.output_dir, exist_ok=True)
         add_log_to_file(os.path.join(cfg.output_dir, "log", "log.txt"))

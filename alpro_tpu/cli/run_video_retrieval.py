@@ -110,31 +110,41 @@ def inference_retrieval(model, params, eval_ds, tokenizer, cfg: Config) -> List[
 
     temp = float(np.clip(np.asarray(params["params"]["temp"]), 0.001, 0.5))
 
+    # 2) encode videos in batches (the reference embeds one video per forward;
+    # batching keeps the MXU fed during the tower pass)
+    vid_bsz = int(cfg.get("eval_video_batch_size", 8))
+    n_videos = len(eval_ds) if not cfg.get("debug") else min(5, len(eval_ds))
+
     results = []
     st = time.time()
-    for vi in range(len(eval_ds)):
-        video = eval_ds.get_video(vi)
-        clip = video["clip"][None]  # (1, T, H, W, C)
-        video_embeds, vfeat = embed_video(params, clip)
-        sims = (np.asarray(vfeat) @ text_feat_all.T / temp)[0]  # (n_text,)
-        for ci, start in enumerate(range(0, ids_p.shape[0], eval_bsz)):
-            logits = fusion_score(
-                params, text_embeds_chunks[ci],
-                mask_p[start : start + eval_bsz], video_embeds,
-            )
-            probs = np.asarray(jax.nn.softmax(logits, axis=-1))[:, 1]
-            end = min(start + eval_bsz, n_text)
-            for j in range(end - start):
-                results.append(dict(
-                    vid_id=video["vid_id"],
-                    txt_id=texts[start + j]["txt_id"],
-                    score=float(probs[j]),
-                    sim=float(sims[start + j]),
-                ))
-        if (vi + 1) % 50 == 0:
-            LOGGER.info("scored %d/%d videos (%.1fs)", vi + 1, len(eval_ds), time.time() - st)
-        if cfg.get("debug") and vi >= 4:
-            break
+    for vstart in range(0, n_videos, vid_bsz):
+        vend = min(vstart + vid_bsz, n_videos)
+        videos = [eval_ds.get_video(vi) for vi in range(vstart, vend)]
+        clips = np.stack([v["clip"] for v in videos])
+        if clips.shape[0] < vid_bsz:  # pad to fixed shape → one compilation
+            pad = vid_bsz - clips.shape[0]
+            clips = np.concatenate([clips, np.repeat(clips[-1:], pad, 0)])
+        video_embeds, vfeat = embed_video(params, clips)
+        sims_block = np.asarray(vfeat) @ text_feat_all.T / temp  # (vb, n_text)
+        for bi, video in enumerate(videos):
+            sims = sims_block[bi]
+            for ci, start in enumerate(range(0, ids_p.shape[0], eval_bsz)):
+                logits = fusion_score(
+                    params, text_embeds_chunks[ci],
+                    mask_p[start : start + eval_bsz],
+                    video_embeds[bi : bi + 1],
+                )
+                probs = np.asarray(jax.nn.softmax(logits, axis=-1))[:, 1]
+                end = min(start + eval_bsz, n_text)
+                for j in range(end - start):
+                    results.append(dict(
+                        vid_id=video["vid_id"],
+                        txt_id=texts[start + j]["txt_id"],
+                        score=float(probs[j]),
+                        sim=float(sims[start + j]),
+                    ))
+        if (vend % 50) < vid_bsz:
+            LOGGER.info("scored %d/%d videos (%.1fs)", vend, n_videos, time.time() - st)
     return results
 
 
