@@ -1,0 +1,80 @@
+"""Training-step throughput benchmark: full retrieval step (VTC + VTM with
+hard negatives, backward, AdamW update) on the flagship model.
+
+Usage: python benchmarks/train_step.py [--batch 8] [--iters 8]
+Prints one JSON line with clips/s (train) on the current backend.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--num_frm", type=int, default=8)
+    ap.add_argument("--img_size", type=int, default=224)
+    ap.add_argument("--depth", type=int, default=12)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from alpro_tpu.models import BertConfig, TimeSformerConfig, build_retrieval_model
+    from alpro_tpu.train import TrainState, build_optimizer, get_lr_schedule
+    from alpro_tpu.train.step import make_retrieval_train_step
+
+    vis = TimeSformerConfig(
+        img_size=args.img_size, patch_size=16, num_frames=args.num_frm,
+        depth=args.depth, drop_path_rate=0.1,
+    )
+    bert = BertConfig()
+    model = build_retrieval_model(bert, vis, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    B, L = args.batch, 40
+    batch = {
+        "visual_inputs": jax.device_put(
+            rng.randint(0, 255, (B, args.num_frm, args.img_size, args.img_size, 3), np.uint8)
+        ),
+        "text_input_ids": jnp.asarray(rng.randint(0, 30522, (B, L)).astype(np.int32)),
+        "text_input_mask": jnp.ones((B, L), jnp.int32),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, args.num_frm, args.img_size, args.img_size, 3), jnp.bfloat16),
+        batch["text_input_ids"][:1], batch["text_input_mask"][:1],
+    )
+    tx = build_optimizer(get_lr_schedule("linear", 1e-4, 1000), grad_norm=5.0)
+    step = jax.jit(make_retrieval_train_step(model, tx), donate_argnums=(0,))
+    state = TrainState.create(params, tx)
+    key = jax.random.PRNGKey(0)
+
+    t0 = time.perf_counter()
+    state, m = step(state, batch, key)
+    loss = float(m["loss"])  # readback: forces completion
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(args.iters):
+        state, m = step(state, batch, key)
+        last = m["loss"]
+    _ = float(last)
+    dt = (time.perf_counter() - t0) / args.iters
+
+    print(json.dumps({
+        "metric": f"train clips/s (retrieval step, B={B}, VTC+VTM, bf16)",
+        "value": round(B / dt, 2),
+        "unit": "clips/s",
+        "ms_per_step": round(dt * 1000, 1),
+        "compile_s": round(compile_s, 1),
+        "loss": round(loss, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
