@@ -66,14 +66,24 @@ def _dense(sd, pfx):
     return {"kernel": _t(sd[pfx + "weight"]), "bias": sd[pfx + "bias"]}
 
 
+def _count_layers(sd, pattern: str) -> int:
+    """Highest N for keys matching pattern.format(N) + 1 (0 if none)."""
+    n = 0
+    while pattern.format(n) in sd:
+        n += 1
+    return n
+
+
 def convert_timesformer(
     sd: Dict[str, np.ndarray],
     prefix: str = "visual_encoder.model.",
     num_patches: Optional[int] = None,
     num_frames: Optional[int] = None,
-    depth: int = 12,
+    depth: Optional[int] = None,
 ) -> dict:
     p = prefix
+    if depth is None:
+        depth = _count_layers(sd, p + "blocks.{}.norm1.weight")
     pos_embed = sd[p + "pos_embed"]
     if num_patches is not None and pos_embed.shape[1] != num_patches + 1:
         pos_embed = resize_spatial_embedding(pos_embed, num_patches)
@@ -122,7 +132,7 @@ def convert_imagenet_vit(
     sd: Dict[str, np.ndarray],
     prefix: str = "",
     num_patches: Optional[int] = None,
-    depth: int = 12,
+    depth: Optional[int] = None,
 ) -> dict:
     """timm/imagenet ViT state dict → TimeSformer init (partial tree).
 
@@ -135,6 +145,8 @@ def convert_imagenet_vit(
     `cli/common.py::merge_params`.
     """
     p = prefix
+    if depth is None:
+        depth = _count_layers(sd, p + "blocks.{}.norm1.weight")
     pos_embed = sd[p + "pos_embed"]
     if num_patches is not None and pos_embed.shape[1] != num_patches + 1:
         pos_embed = resize_spatial_embedding(pos_embed, num_patches)
@@ -188,9 +200,13 @@ convert_kinetics_timesformer = convert_timesformer
 def convert_bert(
     sd: Dict[str, np.ndarray],
     prefix: str = "text_encoder.bert.",
-    num_layers: int = 12,
+    num_layers: Optional[int] = None,
 ) -> dict:
     p = prefix
+    if num_layers is None:
+        num_layers = _count_layers(
+            sd, p + "encoder.layer.{}.attention.self.query.weight"
+        )
     out = {
         "embeddings": {
             "word_embeddings": {"embedding": sd[p + "embeddings.word_embeddings.weight"]},
@@ -231,8 +247,8 @@ def convert_reference_state_dict(
     *,
     num_patches: Optional[int] = None,
     num_frames: Optional[int] = None,
-    depth: int = 12,
-    num_bert_layers: int = 12,
+    depth: Optional[int] = None,
+    num_bert_layers: Optional[int] = None,
     remove_text_encoder_prefix: bool = False,
 ) -> dict:
     """Full ALPRO checkpoint → {'params': ...} tree for AlproModel.
