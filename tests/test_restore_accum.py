@@ -1,0 +1,59 @@
+"""Preemption resume with gradient accumulation: the MultiSteps optimizer
+state (incl. the gradient accumulator pytree) must round-trip through the
+restorer and continue exactly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from alpro_tpu.checkpoint.orbax_io import TrainingRestorer
+from alpro_tpu.models import BertConfig, TimeSformerConfig, build_retrieval_model
+from alpro_tpu.train import TrainState, build_optimizer, get_lr_schedule
+from alpro_tpu.train.step import make_retrieval_train_step
+
+
+def test_resume_mid_accumulation(tmp_path):
+    vis = TimeSformerConfig(
+        img_size=32, patch_size=16, num_frames=2, embed_dim=16, depth=1,
+        num_heads=2, drop_path_rate=0.0,
+    )
+    bert = BertConfig(
+        vocab_size=64, hidden_size=16, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=32, fusion_layer=1,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    model = build_retrieval_model(bert, vis)
+    rng = np.random.RandomState(0)
+    batch = {
+        "visual_inputs": jnp.asarray(rng.rand(4, 2, 32, 32, 3).astype(np.float32)),
+        "text_input_ids": jnp.asarray(rng.randint(0, 64, (4, 6))),
+        "text_input_mask": jnp.ones((4, 6), jnp.int32),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        batch["visual_inputs"][:1], batch["text_input_ids"][:1],
+        batch["text_input_mask"][:1],
+    )
+    tx = build_optimizer(get_lr_schedule("constant", 1e-3, 100), accum_steps=2)
+    step = jax.jit(make_retrieval_train_step(model, tx))
+    key = jax.random.PRNGKey(0)
+
+    # run 3 micro-steps (mid-accumulation), save, run 1 more
+    state = TrainState.create(params, tx)
+    for _ in range(3):
+        state, _ = step(state, batch, key)
+    restorer = TrainingRestorer(str(tmp_path), save_steps=1)
+    restorer.save(jax.device_get(state))
+    state_cont, _ = step(state, batch, key)
+
+    # restore and run the same micro-step → identical params
+    template = jax.device_get(TrainState.create(params, tx))
+    restored = restorer.restore(template)
+    assert restored is not None
+    assert int(np.asarray(restored.step)) == 3
+    state_rest, _ = step(restored, batch, key)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_cont.params),
+        jax.tree_util.tree_leaves(state_rest.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
