@@ -257,7 +257,14 @@ def run_train_loop(
     start_step = int(np.asarray(jax.device_get(state.step)))
     meters: Dict[str, RunningMeter] = {}
     log_interval = cfg.get("log_interval", 100)
-    valid_steps = max(1, num_train_steps // max(cfg.get("num_valid", 10), 1))
+    # reference formula (`run_video_retrieval.py:350-352`): validate ~num_valid
+    # times, rounded up to a multiple of min_valid_steps
+    min_valid = max(int(cfg.get("min_valid_steps", 1)), 1)
+    valid_steps = (
+        math.ceil(num_train_steps / max(cfg.get("num_valid", 10), 1) / min_valid)
+        * min_valid
+    )
+    valid_steps = max(valid_steps, 1)
     debug = bool(cfg.get("debug", False))
 
     # --profile 1: trace steps [start+2, start+7) to TensorBoard format

@@ -1,0 +1,94 @@
+"""Two-process distributed smoke test (multi-host paths on CPU).
+
+Spawns two real jax processes with a local coordinator and checks:
+  * host_sync.all_gather_list / broadcast_object across processes;
+  * a global mesh spanning both processes with a psum over shard_map.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+WORKER = r"""
+import json, os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+port, pid, out_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+jax.distributed.initialize(f"localhost:{port}", num_processes=2, process_id=pid)
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from alpro_tpu.parallel.host_sync import all_gather_list, broadcast_object
+
+gathered = all_gather_list({"rank": pid, "payload": "x" * (10 + pid * 5)})
+bcast = broadcast_object({"seed": 1234} if pid == 0 else None, root=0)
+
+# global mesh over all 4 devices (2 per process); psum of axis_index
+mesh = Mesh(np.asarray(jax.devices()).reshape(4), ("dp",))
+from jax import shard_map
+
+def local_fn(x):
+    return jax.lax.psum(x, "dp")
+
+fn = jax.jit(shard_map(local_fn, mesh=mesh, in_specs=P("dp"), out_specs=P()))
+# build the global array from process-local data
+from jax.experimental import multihost_utils
+host_local = np.arange(2, dtype=np.float32) + 2 * pid
+garr = multihost_utils.host_local_array_to_global_array(
+    host_local, mesh, P("dp")
+)
+out = fn(garr)
+local_out = multihost_utils.global_array_to_host_local_array(out, mesh, P())
+total = float(np.asarray(local_out))
+
+with open(out_path, "w") as f:
+    json.dump({
+        "rank": pid,
+        "n_devices": len(jax.devices()),
+        "gathered": gathered,
+        "bcast": bcast,
+        "psum": total,
+    }, f)
+"""
+
+
+def test_two_process_host_sync_and_mesh(tmp_path):
+    worker_py = tmp_path / "worker.py"
+    worker_py.write_text(WORKER)
+    port = "49731"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = []
+    outs = []
+    for pid in range(2):
+        out = str(tmp_path / f"out{pid}.json")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker_py), port, str(pid), out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        ))
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=200)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multiprocess worker timed out")
+        assert p.returncode == 0, stderr.decode()[-2000:]
+
+    results = [json.load(open(o)) for o in outs]
+    for r in results:
+        assert r["n_devices"] == 4
+        assert [g["rank"] for g in r["gathered"]] == [0, 1]
+        assert r["gathered"][1]["payload"] == "x" * 15
+        assert r["bcast"] == {"seed": 1234}
+        assert r["psum"] == 0.0 + 1 + 2 + 3
+"""Note: both workers must see the same global values — asserted per worker."""
