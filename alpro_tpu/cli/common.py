@@ -40,7 +40,11 @@ def setup_environment(cfg: Config):
     from alpro_tpu.core.misc import save_training_meta, set_random_seed
 
     set_random_seed(cfg.get("seed", 42))
-    if jax.process_index() != 0:
+    try:
+        nonzero_host = jax.process_index() != 0
+    except RuntimeError:
+        nonzero_host = False  # backend not up yet; treat as primary host
+    if nonzero_host:
         # non-zero hosts log warnings only (reference: NoOp logger on
         # ranks != 0, `run_video_retrieval.py:309-310`)
         import logging

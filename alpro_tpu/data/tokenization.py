@@ -146,6 +146,38 @@ class WordPieceTokenizer:
         return " ".join(words)
 
 
+class HFTokenizerAdapter:
+    """Wraps an HF tokenizer to the collator contract: fixed-length numpy
+    batches (HF defaults to no padding/truncation unless asked)."""
+
+    def __init__(self, hf):
+        self._hf = hf
+        self.pad_token_id = hf.pad_token_id
+        self.mask_token_id = hf.mask_token_id
+        self.vocab_size = len(hf)
+
+    def __call__(self, texts, max_length: int = 40, padding: str = "max_length"):
+        enc = self._hf(
+            list(texts), max_length=max_length, padding=padding,
+            truncation=True, return_attention_mask=True,
+        )
+        return {
+            "input_ids": np.asarray(enc["input_ids"], np.int32),
+            "attention_mask": np.asarray(enc["attention_mask"], np.int32),
+        }
+
+    def get_special_tokens_mask(self, ids, already_has_special_tokens=True):
+        return self._hf.get_special_tokens_mask(
+            ids, already_has_special_tokens=already_has_special_tokens
+        )
+
+    def convert_tokens_to_ids(self, tokens):
+        return self._hf.convert_tokens_to_ids(tokens)
+
+    def convert_ids_to_tokens(self, ids):
+        return self._hf.convert_ids_to_tokens(ids)
+
+
 def build_tokenizer(tokenizer_dir: Optional[str] = None):
     """HF fast tokenizer when assets exist, WordPieceTokenizer otherwise."""
     if tokenizer_dir and os.path.isdir(tokenizer_dir):
@@ -153,7 +185,9 @@ def build_tokenizer(tokenizer_dir: Optional[str] = None):
         try:
             from transformers import BertTokenizerFast
 
-            return BertTokenizerFast.from_pretrained(tokenizer_dir)
+            return HFTokenizerAdapter(
+                BertTokenizerFast.from_pretrained(tokenizer_dir)
+            )
         except Exception:
             if os.path.exists(vocab_file):
                 return WordPieceTokenizer.from_vocab_file(vocab_file)
