@@ -95,9 +95,10 @@ class BertSelfAttention(nn.Module):
         H = cfg.num_attention_heads
         hd = D // H
 
-        q = nn.Dense(D, dtype=self.dtype, name="query")(x).reshape(B, L, H, hd)
-        k = nn.Dense(D, dtype=self.dtype, name="key")(x).reshape(B, L, H, hd)
-        v = nn.Dense(D, dtype=self.dtype, name="value")(x).reshape(B, L, H, hd)
+        init = nn.initializers.normal(cfg.initializer_range)
+        q = nn.Dense(D, dtype=self.dtype, kernel_init=init, name="query")(x).reshape(B, L, H, hd)
+        k = nn.Dense(D, dtype=self.dtype, kernel_init=init, name="key")(x).reshape(B, L, H, hd)
+        v = nn.Dense(D, dtype=self.dtype, kernel_init=init, name="value")(x).reshape(B, L, H, hd)
         use_drop = (
             cfg.attention_probs_dropout_prob > 0.0 and not deterministic
         )
@@ -122,8 +123,10 @@ class BertLayer(nn.Module):
         attn_out = BertSelfAttention(cfg, dtype=self.dtype, name="attention")(
             x, attention_mask, deterministic
         )
+        init = nn.initializers.normal(cfg.initializer_range)
         attn_out = nn.Dense(
-            cfg.hidden_size, dtype=self.dtype, name="attention_output"
+            cfg.hidden_size, dtype=self.dtype, kernel_init=init,
+            name="attention_output",
         )(attn_out)
         attn_out = nn.Dropout(cfg.hidden_dropout_prob)(
             attn_out, deterministic=deterministic
@@ -133,10 +136,11 @@ class BertLayer(nn.Module):
         )(attn_out + x)
 
         inter = nn.Dense(
-            cfg.intermediate_size, dtype=self.dtype, name="intermediate"
+            cfg.intermediate_size, dtype=self.dtype, kernel_init=init,
+            name="intermediate",
         )(x)
         inter = gelu_exact(inter)
-        out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(inter)
+        out = nn.Dense(cfg.hidden_size, dtype=self.dtype, kernel_init=init, name="output")(inter)
         out = nn.Dropout(cfg.hidden_dropout_prob)(
             out, deterministic=deterministic
         )

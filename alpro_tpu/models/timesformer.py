@@ -129,7 +129,8 @@ class VitAttention(nn.Module):
 
         B, S, D = x.shape
         head_dim = D // self.num_heads
-        qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
+        init = nn.initializers.truncated_normal(0.02)
+        qkv = nn.Dense(3 * D, dtype=self.dtype, kernel_init=init, name="qkv")(x)
         qkv = qkv.reshape(B, S, 3, self.num_heads, head_dim)
         drng = (
             self.make_rng("dropout")
@@ -144,7 +145,7 @@ class VitAttention(nn.Module):
             deterministic=deterministic,
         )
         out = out.reshape(B, S, D)
-        out = nn.Dense(D, dtype=self.dtype, name="proj")(out)
+        out = nn.Dense(D, dtype=self.dtype, kernel_init=init, name="proj")(out)
         out = nn.Dropout(self.proj_drop_rate)(out, deterministic=deterministic)
         return out
 
@@ -155,6 +156,9 @@ class DividedSTBlock(nn.Module):
     cfg: TimeSformerConfig
     drop_path: float
     dtype: jnp.dtype = jnp.float32
+    # reference init zeroes temporal_fc for every block except the first
+    # (`vit.py:289-298`)
+    zero_temporal_fc: bool = False
 
     def _drop_path(self, value, mask_shape, deterministic):
         if deterministic or self.drop_path == 0.0:
@@ -183,7 +187,14 @@ class DividedSTBlock(nn.Module):
         )(xt, deterministic)
         t_out = jnp.moveaxis(t_out.reshape(B, N, T, D), 1, 2)  # (B, T, N, D)
         t_out = self._drop_path(t_out, (B, 1, N, 1), deterministic)
-        t_out = nn.Dense(D, dtype=self.dtype, name="temporal_fc")(t_out)
+        t_out = nn.Dense(
+            D, dtype=self.dtype,
+            kernel_init=(
+                nn.initializers.zeros if self.zero_temporal_fc
+                else nn.initializers.truncated_normal(0.02)
+            ),
+            name="temporal_fc",
+        )(t_out)
         x = x + t_out
 
         # ---- spatial attention over (1 + N) per frame ----
@@ -277,7 +288,8 @@ class PatchEmbed(nn.Module):
         cfg = self.cfg
         K = cfg.patch_size * cfg.patch_size * 3
         self.kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (K, cfg.embed_dim)
+            "kernel", nn.initializers.truncated_normal(0.02),
+            (K, cfg.embed_dim),
         )
         self.bias = self.param(
             "bias", nn.initializers.zeros, (cfg.embed_dim,)
@@ -399,7 +411,8 @@ class TimeSformer(nn.Module):
                 )
             for i in range(cfg.depth):
                 cls, x = block_cls(
-                    cfg, drop_path=dpr[i], dtype=self.dtype, name=f"blocks_{i}"
+                    cfg, drop_path=dpr[i], dtype=self.dtype,
+                    zero_temporal_fc=(i > 0), name=f"blocks_{i}",
                 )(cls, x, deterministic)
         elif cfg.attention_type == "joint_space_time":
             y = jnp.concatenate([cls, x.reshape(B, T * N, D)], axis=1)

@@ -59,10 +59,11 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         out_dim = self.out_dim or x.shape[-1]
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        init = nn.initializers.truncated_normal(0.02)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, kernel_init=init, name="fc1")(x)
         x = gelu_exact(x)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
-        x = nn.Dense(out_dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dense(out_dim, dtype=self.dtype, kernel_init=init, name="fc2")(x)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         return x
 
