@@ -111,15 +111,23 @@ def inference_retrieval(model, params, eval_ds, tokenizer, cfg: Config) -> List[
     temp = float(np.clip(np.asarray(params["params"]["temp"]), 0.001, 0.5))
 
     # 2) encode videos in batches (the reference embeds one video per forward;
-    # batching keeps the MXU fed during the tower pass)
+    # batching keeps the MXU fed during the tower pass). Across hosts, videos
+    # stripe by process index and results merge at the end — the multihost
+    # version of the reference's tmp-JSON-per-rank join
+    # (`run_video_retrieval.py:697-728`).
     vid_bsz = int(cfg.get("eval_video_batch_size", 8))
     n_videos = len(eval_ds) if not cfg.get("debug") else min(5, len(eval_ds))
+    try:
+        proc, nproc = jax.process_index(), jax.process_count()
+    except RuntimeError:
+        proc, nproc = 0, 1
+    my_videos = list(range(proc, n_videos, nproc))
 
     results = []
     st = time.time()
-    for vstart in range(0, n_videos, vid_bsz):
-        vend = min(vstart + vid_bsz, n_videos)
-        videos = [eval_ds.get_video(vi) for vi in range(vstart, vend)]
+    for vstart in range(0, len(my_videos), vid_bsz):
+        vend = min(vstart + vid_bsz, len(my_videos))
+        videos = [eval_ds.get_video(my_videos[vi]) for vi in range(vstart, vend)]
         clips = np.stack([v["clip"] for v in videos])
         if clips.shape[0] < vid_bsz:  # pad to fixed shape → one compilation
             pad = vid_bsz - clips.shape[0]
@@ -144,7 +152,12 @@ def inference_retrieval(model, params, eval_ds, tokenizer, cfg: Config) -> List[
                         sim=float(sims[start + j]),
                     ))
         if (vend % 50) < vid_bsz:
-            LOGGER.info("scored %d/%d videos (%.1fs)", vend, n_videos, time.time() - st)
+            LOGGER.info("scored %d/%d videos (%.1fs)", vend, len(my_videos),
+                        time.time() - st)
+    if nproc > 1:
+        from alpro_tpu.parallel.host_sync import all_gather_list
+
+        results = [r for shard in all_gather_list(results) for r in shard]
     return results
 
 
