@@ -58,9 +58,13 @@ def inference_qa(model, params, ds, tokenizer, cfg: Config) -> List[dict]:
         _INFER_CACHE[key] = jax.jit(make_qa_inference_fn(model))
     infer = _INFER_CACHE[key]
     col = QACollator(tokenizer, cfg.max_txt_len)
+    try:
+        proc, nproc = jax.process_index(), jax.process_count()
+    except RuntimeError:
+        proc, nproc = 0, 1
     loader = BatchLoader(
         ds, col, cfg.get("inference_batch_size", cfg.val_batch_size),
-        shuffle=False, drop_last=False,
+        shuffle=False, drop_last=False, num_shards=nproc, shard_id=proc,
     )
     num_clips = int(cfg.get("inference_n_clips", 1))
     num_frm = cfg.num_frm
@@ -85,6 +89,10 @@ def inference_qa(model, params, ds, tokenizer, cfg: Config) -> List[dict]:
             results.append({"question_id": qid, "answer": int(p)})
         if cfg.get("debug") and len(results) >= 2 * B:
             break
+    if nproc > 1:
+        from alpro_tpu.parallel.host_sync import all_gather_list
+
+        results = [r for shard in all_gather_list(results) for r in shard]
     return results
 
 
