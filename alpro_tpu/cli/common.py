@@ -288,8 +288,12 @@ def run_train_loop(
         batch = next(train_iter)
         dbatch = shard_batch(mesh, _drop_non_arrays(batch))
         state, metrics = step_fn(state, dbatch, rng, *step_extra_args)
-        for k, v in metrics.items():
-            meters.setdefault(k, RunningMeter(k))(float(v))
+        # metrics stay on device; materializing them every step would force a
+        # host sync per step (the reference's per-step loss.item() hazard,
+        # SURVEY.md §3 hot-loop notes). Sample them at the log cadence.
+        if (global_step + 1) % log_interval == 0 or debug:
+            for k, v in metrics.items():
+                meters.setdefault(k, RunningMeter(k))(float(v))
         if (global_step + 1) % log_interval == 0:
             rate = (global_step + 1 - start_step) / (time.time() - t0)
             LOGGER.info(

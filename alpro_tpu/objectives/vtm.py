@@ -40,6 +40,9 @@ def sample_hard_negatives(
     eye = jnp.eye(B, dtype=bool)
     allowed = ~eye
     if num_local_blocks > 1:
+        assert B % num_local_blocks == 0, (
+            f"global batch {B} must divide into {num_local_blocks} blocks"
+        )
         block = jnp.arange(B) // (B // num_local_blocks)
         same_block = block[:, None] == block[None, :]
         allowed = allowed & same_block
