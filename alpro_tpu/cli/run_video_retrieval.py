@@ -115,6 +115,10 @@ def inference_retrieval(model, params, eval_ds, tokenizer, cfg: Config) -> List[
     # stripe by process index and results merge at the end — the multihost
     # version of the reference's tmp-JSON-per-rank join
     # (`run_video_retrieval.py:697-728`).
+    # --eval_vtc_only 1: rank by the VTC similarity alone (skips the VTM
+    # fusion pass — ~10x cheaper validation during training; final eval should
+    # use the full protocol, whose ranking score is the VTM P(match))
+    vtc_only = bool(cfg.get("eval_vtc_only", False))
     vid_bsz = int(cfg.get("eval_video_batch_size", 8))
     n_videos = len(eval_ds) if not cfg.get("debug") else min(5, len(eval_ds))
     try:
@@ -136,6 +140,15 @@ def inference_retrieval(model, params, eval_ds, tokenizer, cfg: Config) -> List[
         sims_block = np.asarray(vfeat) @ text_feat_all.T / temp  # (vb, n_text)
         for bi, video in enumerate(videos):
             sims = sims_block[bi]
+            if vtc_only:
+                for j in range(n_text):
+                    results.append(dict(
+                        vid_id=video["vid_id"],
+                        txt_id=texts[j]["txt_id"],
+                        score=float(sims[j]),
+                        sim=float(sims[j]),
+                    ))
+                continue
             for ci, start in enumerate(range(0, ids_p.shape[0], eval_bsz)):
                 logits = fusion_score(
                     params, text_embeds_chunks[ci],
