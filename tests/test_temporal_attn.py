@@ -1,0 +1,51 @@
+"""Roll-based temporal attention kernel vs the XLA einsum reference."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from alpro_tpu.ops.pallas_temporal_attn import (
+    _xla_reference,
+    temporal_attention_roll,
+)
+
+
+def _mk(B=2, T=4, N=9, D=32, seed=0):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.randn(B, T, N, 3 * D).astype(np.float32))
+
+
+def test_matches_xla_reference():
+    qkv = _mk()
+    want = _xla_reference(qkv, num_heads=4)
+    got = temporal_attention_roll(qkv, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_matches_with_nonpow2_frames():
+    qkv = _mk(B=1, T=3, N=5, D=16, seed=1)
+    want = _xla_reference(qkv, num_heads=2)
+    got = temporal_attention_roll(qkv, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_gradients_match_xla():
+    qkv = _mk(B=1, T=3, N=4, D=16, seed=2)
+
+    gf = jax.grad(lambda x: jnp.sum(temporal_attention_roll(x, 2) ** 2))(qkv)
+    gx = jax.grad(lambda x: jnp.sum(_xla_reference(x, 2) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=1e-4)
+
+
+def test_each_patch_independent():
+    """Changing patch n's pixels must not affect other patches' outputs."""
+    qkv = _mk(B=1, T=4, N=6, D=16, seed=3)
+    out1 = temporal_attention_roll(qkv, 2)
+    qkv2 = qkv.at[:, :, 2, :].add(1.0)
+    out2 = temporal_attention_roll(qkv2, 2)
+    mask = np.ones(6, bool)
+    mask[2] = False
+    np.testing.assert_allclose(
+        np.asarray(out1)[:, :, mask], np.asarray(out2)[:, :, mask], atol=1e-6
+    )
+    assert not np.allclose(np.asarray(out1)[:, :, 2], np.asarray(out2)[:, :, 2])
