@@ -58,6 +58,11 @@ def setup_environment(cfg: Config):
 
 
 def compute_dtype(cfg: Config):
+    if cfg.get("fp16"):
+        # the reference's apex fp16 flag: TPU equivalent is bf16 (same
+        # exponent range as fp32 — no loss scaling needed, SURVEY.md §2.9)
+        LOGGER.info("fp16=1 requested: using bfloat16 compute on TPU")
+        return jnp.bfloat16
     name = cfg.get("compute_dtype", "bfloat16")
     return jnp.bfloat16 if name == "bfloat16" else jnp.float32
 
