@@ -141,3 +141,34 @@ def _bwd(num_heads, res, g):
 
 
 temporal_attention_roll.defvjp(_fwd, _bwd)
+
+
+def temporal_attention_circulant(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Circulant temporal attention in pure XLA — the same δ-roll softmax
+    identity as the Pallas kernel, expressed with jnp.roll on the frame axis.
+
+    Every op is elementwise over contiguous (B, T, N, H, hd) tensors: no
+    (B·N, T, D) relayout, no (T, T) score matrix, no batched tiny matmuls —
+    the three things that make XLA's einsum lowering of this attention cost
+    ~23 ms at flagship shapes. Natively differentiable.
+    """
+    B, T, N, threeD = qkv.shape
+    D = threeD // 3
+    hd = D // num_heads
+    scale = hd ** -0.5
+    q = qkv[..., :D].reshape(B, T, N, num_heads, hd).astype(jnp.float32) * scale
+    k = qkv[..., D : 2 * D].reshape(B, T, N, num_heads, hd).astype(jnp.float32)
+    v = qkv[..., 2 * D :].reshape(B, T, N, num_heads, hd).astype(jnp.float32)
+
+    # band_δ[t] = Σ_d q[t]·k[(t+δ) % T]; softmax over t' ≡ softmax over δ
+    bands = jnp.stack(
+        [jnp.sum(q * jnp.roll(k, -d, axis=1), axis=-1) for d in range(T)]
+    )  # (T_δ, B, T, N, H)
+    m = jnp.max(bands, axis=0, keepdims=True)
+    e = jnp.exp(bands - m)
+    denom = jnp.sum(e, axis=0)  # (B, T, N, H)
+    out = e[0][..., None] * v
+    for d in range(1, T):
+        out = out + e[d][..., None] * jnp.roll(v, -d, axis=1)
+    out = out / denom[..., None]
+    return out.reshape(B, T, N, D).astype(qkv.dtype)
