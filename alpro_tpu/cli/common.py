@@ -7,7 +7,6 @@ The equivalent of the reference's per-task `setup_model` / `setup_dataloaders`
 
 from __future__ import annotations
 
-import json
 import math
 import os
 import time
@@ -22,7 +21,6 @@ from alpro_tpu.checkpoint.torch_convert import load_reference_checkpoint
 from alpro_tpu.core.config import Config, load_json_config
 from alpro_tpu.core.logging import LOGGER, TB_LOGGER, RunningMeter, add_log_to_file
 from alpro_tpu.core.mesh import make_mesh, replicate, shard_batch
-from alpro_tpu.data.tokenization import build_tokenizer
 from alpro_tpu.models import (
     AlproModel,
     BertConfig,

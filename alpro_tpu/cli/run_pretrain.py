@@ -13,7 +13,6 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from alpro_tpu.cli import common
 from alpro_tpu.cli.prompts import (

@@ -18,7 +18,7 @@ import jax
 import numpy as np
 
 from alpro_tpu.cli import common
-from alpro_tpu.core.config import Config, get_video_retrieval_args, load_json_config
+from alpro_tpu.core.config import Config, get_video_retrieval_args
 from alpro_tpu.core.logging import LOGGER, TB_LOGGER
 from alpro_tpu.data.datasets import (
     RetrievalCollator,
@@ -29,7 +29,7 @@ from alpro_tpu.data.datasets import (
 from alpro_tpu.data.loader import BatchLoader, InfiniteIterator
 from alpro_tpu.data.tokenization import build_tokenizer
 from alpro_tpu.evals.retrieval import eval_retrieval
-from alpro_tpu.train.step import make_retrieval_inference_fn, make_retrieval_train_step
+from alpro_tpu.train.step import make_retrieval_train_step
 
 
 def _mk_datasets(cfg: Config, tokenizer):

@@ -15,7 +15,6 @@
 
 from __future__ import annotations
 
-import itertools
 import threading
 import queue as queue_mod
 from typing import Callable, Dict, Iterator, List, Optional, Sequence

@@ -25,7 +25,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from alpro_tpu.ops.attention import multi_head_attention
 from alpro_tpu.ops.layers import LayerNorm, gelu_exact
 
 

@@ -17,7 +17,6 @@ Replaces the reference's cuDNN softmax-attention in
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -20,8 +20,7 @@ prompter = VTC only (`run_pretrain_contrastive_only.py:225-255`).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
