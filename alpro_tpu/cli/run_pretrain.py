@@ -160,9 +160,60 @@ def start_training(cfg: Config):
     else:
         runner_step = step_fn
 
+    # validation over the val datasets (reference `run_pretrain_sparse.py:
+    # 240-330`): per-task losses + ITC/MLM accuracies on a few batches
+    from alpro_tpu.train.step import make_pretrain_eval_fn
+
+    eval_fn = jax.jit(make_pretrain_eval_fn(
+        model,
+        use_itc=bool(cfg.get("use_itc", True)),
+        use_itm=bool(cfg.get("use_itm", True)),
+        use_mlm=bool(cfg.get("use_mlm", True)),
+        use_mpm=use_mpm,
+        teacher=teacher,
+        num_local_blocks=cfg.get("vtm_negative_blocks", 1),
+    ))
+    val_specs = cfg.get("val_datasets") or []
+    val_cfg = dict(cfg)
+    val_cfg["train_datasets"] = val_specs
+    val_loaders = (
+        build_pretrain_loaders(Config(val_cfg), tokenizer, use_mpm)
+        if val_specs else {}
+    )
+
+    def validate(state, gs):
+        if not val_loaders:
+            return
+        import numpy as np
+
+        params = state.params
+        agg = {}
+        n = 0
+        for name, loader in val_loaders.items():
+            for bi, batch in enumerate(loader):
+                if bi >= int(cfg.get("num_val_batches", 2)):
+                    break
+                batch = dict(batch)
+                bank = banks.get(batch.pop("type", "video"))
+                arrays = {
+                    k: v for k, v in batch.items()
+                    if hasattr(v, "dtype") and getattr(v, "dtype", None) != object
+                }
+                m = eval_fn(params, arrays, jax.random.PRNGKey(0),
+                            teacher_params, bank)
+                for k, v in m.items():
+                    agg[k] = agg.get(k, 0.0) + float(v)
+                n += 1
+        if n:
+            LOGGER.info(
+                "step %s val: %s", gs,
+                {k: round(v / n, 4) for k, v in sorted(agg.items())},
+            )
+
     state = common.run_train_loop(
         cfg, mesh, runner_step, state, iter(_MixIter()), num_steps,
         restorer=restorer,
+        validate_fn=validate,
         save_model_fn=common.default_save_model_fn(cfg, model),
     )
     return state

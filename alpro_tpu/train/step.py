@@ -416,6 +416,83 @@ def make_pretrain_train_step(
     return step
 
 
+def make_pretrain_eval_fn(
+    model: AlproModel,
+    use_itc: bool = True,
+    use_itm: bool = True,
+    use_mlm: bool = True,
+    use_mpm: bool = False,
+    teacher: Optional[AlproModel] = None,
+    num_local_blocks: int = 1,
+) -> Callable:
+    """Deterministic per-batch loss metrics for pretraining validation
+    (the reference's `validate()` over the val MetaLoader,
+    `run_pretrain_sparse.py:240-330`). Signature:
+    (params, batch, rng, teacher_params, prompt_bank) -> metrics."""
+
+    def evaluate(params, batch, rng, teacher_params=None, prompt_bank=None):
+        fwd = _alignment_forward(model, params, batch, rng, train=False)
+        metrics: Dict[str, jnp.ndarray] = {}
+        vtc, sim_v2t, sim_t2v = vtc_loss(
+            fwd["video_feat"], fwd["text_feat"], fwd["temp"]
+        )
+        if use_itc:
+            metrics["val_itc_loss"] = vtc
+            B = sim_v2t.shape[0]
+            labels = jnp.arange(B)
+            metrics["val_v2t_acc"] = jnp.mean(
+                (jnp.argmax(sim_v2t, -1) == labels).astype(jnp.float32)
+            )
+            metrics["val_t2v_acc"] = jnp.mean(
+                (jnp.argmax(sim_t2v, -1) == labels).astype(jnp.float32)
+            )
+        fusion_pos = None
+        if use_itm:
+            vtm, fusion_pos = _vtm_forward(
+                model, params, batch, fwd, sim_v2t, sim_t2v, rng,
+                train=False, num_local_blocks=num_local_blocks,
+            )
+            metrics["val_itm_loss"] = vtm
+        if use_mlm and "mlm_text_input_ids" in batch:
+            mlm_text = model.apply(
+                params, batch["mlm_text_input_ids"], batch["text_input_mask"],
+                True, method=model.embed_text,
+            )
+            mlm_fusion = model.apply(
+                params, mlm_text, batch["text_input_mask"],
+                fwd["video_embeds"], None, True, method=model.fuse,
+            )
+            Lt = batch["mlm_text_input_ids"].shape[1]
+            logits = model.apply(
+                params, mlm_fusion[:, :Lt, :], method=model.mlm_logits
+            )
+            metrics["val_mlm_loss"] = mlm_loss(logits, batch["mlm_labels"])
+            valid = batch["mlm_labels"] != -100
+            correct = (jnp.argmax(logits, -1) == batch["mlm_labels"]) & valid
+            metrics["val_mlm_acc"] = jnp.sum(correct) / jnp.maximum(
+                jnp.sum(valid), 1
+            )
+        if use_mpm and teacher is not None and fusion_pos is not None:
+            crop_embeds = teacher.apply(
+                teacher_params, batch["crop_visual_inputs"],
+                method=teacher.embed_video,
+            )
+            crop_feat = teacher.apply(
+                teacher_params, crop_embeds, method=teacher.video_feat
+            )
+            t_temp = teacher.apply(teacher_params, method=teacher.temperature)
+            soft, ignore = pseudo_labels_from_feats(
+                crop_feat, prompt_bank, t_temp
+            )
+            Lt = batch["text_input_ids"].shape[1]
+            mean_embeds = masked_patch_mean(fusion_pos, batch["mpm_mask"], Lt)
+            logits = model.apply(params, mean_embeds, method=model.mpm_logits)
+            metrics["val_mpm_loss"] = mpm_loss(logits, soft, ignore)
+        return metrics
+
+    return evaluate
+
+
 # --------------------------------------------------------------------------
 # prompter (VTC only, `run_pretrain_contrastive_only.py:225-255`)
 # --------------------------------------------------------------------------
