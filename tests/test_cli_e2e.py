@@ -148,7 +148,7 @@ def test_pretrain_all_objectives(tmp_path):
     cfg.train_datasets = [
         {"name": "syn_video", "ann": ann, "img": vid_dir, "type": "video"},
     ]
-    cfg.val_datasets = cfg.train_datasets
+    cfg.val_datasets = []  # per-step validation covered by the CLI drive
     cfg.use_itc = 1
     cfg.use_itm = 1
     cfg.use_mlm = 1

@@ -25,7 +25,7 @@ def test_pretrain_video_plus_image_mix(tmp_path):
         {"name": "syn_video", "ann": v_ann, "img": v_dir, "type": "video"},
         {"name": "syn_image", "ann": i_ann, "img": i_dir, "type": "image"},
     ]
-    cfg.val_datasets = cfg.train_datasets
+    cfg.val_datasets = []  # per-step validation covered by the CLI drive
     cfg.use_itc = 1
     cfg.use_itm = 1
     cfg.use_mlm = 1
