@@ -78,13 +78,17 @@ def main():
     # where the 19 MB uint8 batch costs ~2 ms against ~140 ms of compute.)
     dev_clips = [jax.device_put(c) for c in host_clips]
     _ = float(embed_checksum(params, dev_clips[0]))
-    t0 = time.perf_counter()
-    acc = None
-    for i in range(n_iters):
-        r = embed_checksum(params, dev_clips[i % len(dev_clips)])
-        acc = r if acc is None else acc + r
-    _ = float(acc)  # readback closes the measured region
-    resident_cps = B * n_iters / (time.perf_counter() - t0)
+    # best of 2 trials: the sandbox tunnel occasionally stalls a trial by 5x
+    # (observed 20.8 vs 111.8 clips/s back-to-back); max is the chip number
+    resident_cps = 0.0
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        acc = None
+        for i in range(n_iters):
+            r = embed_checksum(params, dev_clips[i % len(dev_clips)])
+            acc = r if acc is None else acc + r
+        _ = float(acc)  # readback closes the measured region
+        resident_cps = max(resident_cps, B * n_iters / (time.perf_counter() - t0))
 
     # 2) host-fed through the tunnel (staging thread overlaps device_put)
     q: "queue.Queue" = queue.Queue(maxsize=2)
