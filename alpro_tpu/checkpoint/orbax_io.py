@@ -76,9 +76,16 @@ class TrainingRestorer:
         self.save_steps = save_steps
         self._slot = 0
 
+    def due(self, global_step: int) -> bool:
+        """Whether a resume checkpoint is due at this step. Callers must check
+        this BEFORE materializing the state on host — a per-step
+        `jax.device_get(state)` would force a blocking device sync and a
+        full params+optimizer transfer on every step."""
+        return self.save_steps > 0 and global_step % self.save_steps == 0
+
     def step(self, global_step: int, state) -> None:
-        if self.save_steps > 0 and global_step % self.save_steps == 0:
-            self.save(state)
+        if self.due(global_step):
+            self.save(state() if callable(state) else state)
 
     def save(self, state) -> None:
         slot = "a" if self._slot == 0 else "b"

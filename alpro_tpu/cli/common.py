@@ -312,8 +312,10 @@ def run_train_loop(
                 validate_fn(state, global_step + 1)
             if save_model_fn is not None:
                 save_model_fn(state, global_step + 1)
-        if restorer is not None:
-            restorer.step(global_step + 1, jax.device_get(state))
+        if restorer is not None and restorer.due(global_step + 1):
+            # the device_get (full params + optimizer state) happens only on
+            # save boundaries; doing it per-step would block async dispatch
+            restorer.save(jax.device_get(state))
         if debug and global_step - start_step >= 3:
             LOGGER.info("debug mode: stopping after %d steps", global_step + 1)
             break

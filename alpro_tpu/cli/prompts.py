@@ -26,12 +26,12 @@ IMAGE_TEMPLATES = [
     "A picture of a {}.",
     "A picture of the {}.",
     "A picture of one {}.",
-    "A portrait of a {}.",
-    "A portrait of the {}.",
-    "A portrait of one {}.",
-    "An image of a {}.",
-    "An image of the {}.",
-    "An image of one {}.",
+    "A good photo of the {}.",
+    "A good photo of a {}.",
+    "A good photo of one {}.",
+    "A good picture of the {}.",
+    "A good picture of a {}.",
+    "A good picture of one {}.",
 ]
 
 

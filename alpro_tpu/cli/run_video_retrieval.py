@@ -56,12 +56,15 @@ def _mk_datasets(cfg: Config, tokenizer):
     return train_loader, eval_ds, collator
 
 
-_INFER_CACHE: Dict[int, object] = {}
+# keyed by id(model) with the model pinned in the value: the pin keeps the
+# id from being recycled after GC, and the identity check guards regardless
+_INFER_CACHE: Dict[int, tuple] = {}
 
 
 def _jit_eval_fns(model):
     key = id(model)
-    if key not in _INFER_CACHE:
+    cached = _INFER_CACHE.get(key)
+    if cached is None or cached[0] is not model:
         from alpro_tpu.train.step import (
             make_fusion_score_fn,
             make_text_encode_fn,
@@ -69,11 +72,14 @@ def _jit_eval_fns(model):
         )
 
         _INFER_CACHE[key] = (
-            jax.jit(make_text_encode_fn(model)),
-            jax.jit(make_video_embed_fn(model)),
-            jax.jit(make_fusion_score_fn(model)),
+            model,
+            (
+                jax.jit(make_text_encode_fn(model)),
+                jax.jit(make_video_embed_fn(model)),
+                jax.jit(make_fusion_score_fn(model)),
+            ),
         )
-    return _INFER_CACHE[key]
+    return _INFER_CACHE[key][1]
 
 
 def inference_retrieval(model, params, eval_ds, tokenizer, cfg: Config) -> List[dict]:

@@ -16,7 +16,20 @@ from typing import Optional
 
 import numpy as np
 
-from alpro_tpu.data.sampling import sample_frame_indices
+from alpro_tpu.data.sampling import fit_num_frames, sample_frame_indices
+
+
+def _sample_fitted(vlen, num_frm, sampling, rng) -> Optional[np.ndarray]:
+    """Reference-exact sampling adapted to the static-shape pipeline: a
+    sampler raise (short video under `uniform`/`rand`, zero `nlvl_rand`
+    stride) maps to None → resample-another-video, matching the reference's
+    try/except around decode (`dataset_base.py:175-177`); index counts ≠
+    num_frm (the reference feeds those to torch as-is) are evenly fitted."""
+    try:
+        idx = sample_frame_indices(vlen, num_frm, sampling, rng)
+    except Exception:
+        return None
+    return fit_num_frames(idx, num_frm)
 
 
 class NpyVideoBackend:
@@ -39,7 +52,9 @@ class NpyVideoBackend:
         except Exception:
             return None
         vlen = frames.shape[0]
-        idx = sample_frame_indices(vlen, num_frm, sampling, rng)
+        idx = _sample_fitted(vlen, num_frm, sampling, rng)
+        if idx is None:
+            return None
         clip = frames[idx]
         if height and width and clip.shape[1:3] != (height, width):
             from alpro_tpu.data.transforms import resize_shorter_side
@@ -61,7 +76,9 @@ class FFmpegVideoBackend:
         info = self._dec.probe(path)
         if info is None or info.num_frames <= 0:
             return None
-        idx = sample_frame_indices(info.num_frames, num_frm, sampling, rng)
+        idx = _sample_fitted(info.num_frames, num_frm, sampling, rng)
+        if idx is None:
+            return None
         return self._dec.decode_frames(path, idx, height or 0, width or 0)
 
 

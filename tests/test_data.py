@@ -26,24 +26,90 @@ from fixtures import make_tokenizer, write_qa_dataset, write_video_dataset
 
 # ---- frame sampling ------------------------------------------------------
 @pytest.mark.parametrize("strategy", ["uniform", "nlvl_uniform", "nlvl_rand", "rand", "headtail"])
-def test_samplers_in_range_and_count(strategy):
+def test_samplers_clean_in_range_and_count(strategy):
     rng = np.random.default_rng(0)
     for vlen in [8, 30, 100, 101]:
-        idx = sample_frame_indices(vlen, 8, strategy, rng)
+        idx = sample_frame_indices(vlen, 8, strategy, rng, exact=False)
         assert len(idx) == 8
         assert (idx >= 0).all() and (idx < vlen).all()
 
 
-def test_headtail_split():
+def test_uniform_exact_matches_reference_formula():
+    """Reference `dataset_base.py:154`: np.arange(start, end, vlen/num_frm,
+    dtype=int) on numpy-1.x == arange with start/stop/step cast to int.
+    Asserted index-for-index over a (vlen, num_frm) grid, including counts
+    > num_frm (the reference feeds those straight to the model)."""
+    for vlen in [8, 16, 30, 31, 100, 101, 300, 997]:
+        for num_frm in [2, 4, 8, 16]:
+            if vlen < num_frm:
+                continue
+            expected = np.arange(0, int(vlen), int(vlen / num_frm))
+            got = sample_frame_indices(vlen, num_frm, "uniform")
+            np.testing.assert_array_equal(got, expected, err_msg=f"{vlen=} {num_frm=}")
+    # the headline quirk: vlen=30, num_frm=8 -> step 3 -> TEN indices
+    np.testing.assert_array_equal(
+        sample_frame_indices(30, 8, "uniform"),
+        [0, 3, 6, 9, 12, 15, 18, 21, 24, 27],
+    )
+    # start/end window (timestamped clips)
+    np.testing.assert_array_equal(
+        sample_frame_indices(30, 8, "uniform", start_idx=5, end_idx=25),
+        np.arange(5, 25, 3),
+    )
+    # vlen < num_frm truncates the step to 0: reference numpy raises, the
+    # dataset's try/except resamples
+    with pytest.raises(ValueError):
+        sample_frame_indices(5, 8, "uniform")
+
+
+def test_nlvl_uniform_exact_matches_reference_formula():
+    for vlen in [8, 30, 100, 101, 300]:
+        for num_frm in [4, 8, 16]:
+            expected = np.arange(0, vlen, vlen / num_frm).astype(int)
+            got = sample_frame_indices(vlen, num_frm, "nlvl_uniform")
+            np.testing.assert_array_equal(got, expected)
+    # windowed: count != num_frm, exactly like the reference
+    expected = np.arange(10, 50, 100 / 8).astype(int)
+    got = sample_frame_indices(100, 8, "nlvl_uniform", start_idx=10, end_idx=50)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_headtail_exact_reference_counts():
+    """Reference draws num_frm//2 from each half: odd num_frm yields
+    num_frm-1 indices; head and tail sorted separately."""
     rng = np.random.default_rng(1)
     idx = sample_frame_indices(100, 8, "headtail", rng)
+    assert len(idx) == 8
     assert (idx[:4] < 50).all() and (idx[4:] >= 50).all()
+    assert (np.diff(idx[:4]) > 0).all() and (np.diff(idx[4:]) > 0).all()
+    idx7 = sample_frame_indices(100, 7, "headtail", rng)
+    assert len(idx7) == 6  # reference quirk: 2 * (7 // 2)
+
+
+def test_rand_exact_raises_short():
+    rng = np.random.default_rng(2)
+    with pytest.raises(ValueError):
+        sample_frame_indices(5, 8, "rand", rng)
+    idx = sample_frame_indices(20, 8, "rand", rng)
+    assert len(idx) == 8 and len(set(idx.tolist())) == 8
 
 
 def test_uniform_deterministic():
     a = sample_frame_indices(100, 8, "uniform")
     b = sample_frame_indices(100, 8, "uniform")
     np.testing.assert_array_equal(a, b)
+
+
+def test_fit_num_frames():
+    from alpro_tpu.data.sampling import fit_num_frames
+
+    idx = np.array([0, 3, 6, 9, 12, 15, 18, 21, 24, 27])
+    fitted = fit_num_frames(idx, 8)
+    assert len(fitted) == 8
+    assert fitted[0] == 0 and fitted[-1] == 27
+    assert (np.diff(fitted) > 0).all()
+    np.testing.assert_array_equal(fit_num_frames(np.array([1, 2]), 4), [1, 2, 2, 2])
+    np.testing.assert_array_equal(fit_num_frames(idx, 10), idx)
 
 
 # ---- MLM masking ---------------------------------------------------------
@@ -218,3 +284,32 @@ def test_infinite_iterator_cycles():
     it = InfiniteIterator([1, 2, 3])
     vals = [next(it) for _ in range(7)]
     assert vals == [1, 2, 3, 1, 2, 3, 1]
+
+
+# ---- prompt templates ----------------------------------------------------
+def test_prompt_templates_match_reference_verbatim():
+    """Exact string parity with `get_video_prompt_templates` /
+    `get_image_prompt_templates` (`/root/reference/src/pretrain/
+    run_pretrain_sparse.py:326-362`), extracted from the reference source at
+    test time so any drift fails loudly."""
+    import ast
+    import pathlib
+
+    from alpro_tpu.cli.prompts import IMAGE_TEMPLATES, VIDEO_TEMPLATES
+
+    ref = pathlib.Path("/root/reference/src/pretrain/run_pretrain_sparse.py")
+    if not ref.exists():
+        import pytest as _pytest
+
+        _pytest.skip("reference tree not mounted")
+    tree = ast.parse(ref.read_text())
+    found = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name in (
+            "get_video_prompt_templates", "get_image_prompt_templates",
+        ):
+            lists = [n for n in ast.walk(node) if isinstance(n, ast.List)]
+            assert len(lists) == 1
+            found[node.name] = [ast.literal_eval(e) for e in lists[0].elts]
+    assert found["get_video_prompt_templates"] == VIDEO_TEMPLATES
+    assert found["get_image_prompt_templates"] == IMAGE_TEMPLATES
