@@ -260,6 +260,25 @@ def run_train_loop(
     save_model_fn: Optional[Callable] = None,
     step_extra_args: Tuple = (),
 ):
+    """Training loop. `train_iter` yields either batch dicts or
+    (batch, extras) tuples; extras are passed to the step after rng
+    (replicated args that vary per batch, e.g. the pretrain prompt bank).
+    Batches are sharded onto the mesh by a background prefetch thread
+    (`DevicePrefetcher`) so H2D transfer of batch k+1 overlaps step k — the
+    reference's PrefetchLoader/CUDA-stream role (`dataloader.py:86-160`).
+    Disable with --prefetch_depth 0."""
+    from alpro_tpu.data.loader import DevicePrefetcher
+
+    def _stage(item):
+        batch, extras = item if isinstance(item, tuple) else (item, ())
+        return shard_batch(mesh, _drop_non_arrays(batch)), extras
+
+    prefetch_depth = int(cfg.get("prefetch_depth", 2))
+    if prefetch_depth > 0:
+        staged_iter = DevicePrefetcher(train_iter, _stage, depth=prefetch_depth)
+    else:
+        staged_iter = map(_stage, train_iter)
+
     rng = jax.random.PRNGKey(cfg.get("seed", 42))
     start_step = int(np.asarray(jax.device_get(state.step)))
     meters: Dict[str, RunningMeter] = {}
@@ -288,9 +307,8 @@ def run_train_loop(
                 jax.profiler.stop_trace()
                 profiling = False
                 LOGGER.info("wrote profiler trace to %s/profile", cfg.output_dir)
-        batch = next(train_iter)
-        dbatch = shard_batch(mesh, _drop_non_arrays(batch))
-        state, metrics = step_fn(state, dbatch, rng, *step_extra_args)
+        dbatch, extras = next(staged_iter)
+        state, metrics = step_fn(state, dbatch, rng, *(extras or step_extra_args))
         # metrics stay on device; materializing them every step would force a
         # host sync per step (the reference's per-step loss.item() hazard,
         # SURVEY.md §3 hot-loop notes). Sample them at the log cadence.

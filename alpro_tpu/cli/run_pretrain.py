@@ -85,7 +85,8 @@ def build_pretrain_loaders(cfg: Config, tokenizer, use_mpm: bool):
                 seed=cfg.get("seed", 42),
             )
         loaders[spec["name"]] = BatchLoader(
-            ds, collator, cfg.train_batch_size, seed=cfg.get("seed", 42)
+            ds, collator, cfg.train_batch_size, seed=cfg.get("seed", 42),
+            num_workers=int(cfg.get("n_workers", 4)),
         )
     return loaders
 
@@ -141,9 +142,8 @@ def start_training(cfg: Config):
     LOGGER.info("pretraining for %d steps over %s", num_steps, list(loaders))
 
     # the prompt bank is replicated (not dp-sharded), so it rides alongside
-    # the batch through a side cell instead of the sharded batch dict
-    bank_cell = [banks.get("video")]
-
+    # the batch as per-item step extras — safe under the background prefetch
+    # thread (a shared mutable cell would race ahead of consumption)
     class _MixIter:
         def __iter__(self):
             return self
@@ -151,14 +151,10 @@ def start_training(cfg: Config):
         def __next__(self):
             _task, batch = next(meta)
             batch = dict(batch)
-            bank_cell[0] = banks.get(batch.pop("type", "video"))
+            bank = banks.get(batch.pop("type", "video"))
+            if use_mpm:
+                return batch, (teacher_params, bank)
             return batch
-
-    if use_mpm:
-        def runner_step(state, dbatch, rng, _tp=teacher_params):
-            return step_fn(state, dbatch, rng, _tp, bank_cell[0])
-    else:
-        runner_step = step_fn
 
     # validation over the val datasets (reference `run_pretrain_sparse.py:
     # 240-330`): per-task losses + ITC/MLM accuracies on a few batches
@@ -211,7 +207,7 @@ def start_training(cfg: Config):
             )
 
     state = common.run_train_loop(
-        cfg, mesh, runner_step, state, iter(_MixIter()), num_steps,
+        cfg, mesh, step_fn, state, iter(_MixIter()), num_steps,
         restorer=restorer,
         validate_fn=validate,
         save_model_fn=common.default_save_model_fn(cfg, model),

@@ -40,7 +40,8 @@ def start_training(cfg: Config):
     collator = PretrainCollator(
         tokenizer, cfg.get("max_txt_len", 30), mlm=False, mpm=False,
     )
-    loader = BatchLoader(ds, collator, cfg.train_batch_size, seed=cfg.get("seed", 42))
+    loader = BatchLoader(ds, collator, cfg.train_batch_size, seed=cfg.get("seed", 42),
+                         num_workers=int(cfg.get("n_workers", 4)))
 
     mesh, step_fn, state, num_steps, restorer = common.setup_training(
         cfg, model, make_prompter_train_step, steps_per_epoch=len(loader),

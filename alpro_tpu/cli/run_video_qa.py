@@ -65,6 +65,7 @@ def inference_qa(model, params, ds, tokenizer, cfg: Config) -> List[dict]:
     loader = BatchLoader(
         ds, col, cfg.get("inference_batch_size", cfg.val_batch_size),
         shuffle=False, drop_last=False, num_shards=nproc, shard_id=proc,
+        num_workers=int(cfg.get("n_workers", 4)),
     )
     num_clips = int(cfg.get("inference_n_clips", 1))
     num_frm = cfg.num_frm
@@ -117,7 +118,8 @@ def start_training(cfg: Config):
     val_ds = _mk_datasets(cfg, tokenizer, "val")
     col = QACollator(tokenizer, cfg.max_txt_len)
     train_loader = BatchLoader(
-        train_ds, col, cfg.train_batch_size, seed=cfg.get("seed", 42)
+        train_ds, col, cfg.train_batch_size, seed=cfg.get("seed", 42),
+        num_workers=int(cfg.get("n_workers", 4)),
     )
 
     # QA finetunes from the pretrain ckpt with the text_encoder.bert prefix

@@ -46,7 +46,7 @@ def _mk_datasets(cfg: Config, tokenizer):
     collator = RetrievalCollator(tokenizer, cfg.max_txt_len)
     train_loader = BatchLoader(
         train_ds, collator, cfg.train_batch_size, shuffle=True,
-        seed=cfg.get("seed", 42),
+        seed=cfg.get("seed", 42), num_workers=int(cfg.get("n_workers", 4)),
     )
     val_rows = load_datalist(cfg.val_datasets[0]["txt"])
     eval_ds = RetrievalEvalDataset(

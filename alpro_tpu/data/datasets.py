@@ -22,6 +22,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from alpro_tpu.data.masking import mask_batch_text_tokens, random_erase
+from alpro_tpu.data.rng import ThreadSafeRng
 from alpro_tpu.data.sampling import sample_frame_indices  # noqa: F401 (re-export)
 from alpro_tpu.data.transforms import (
     center_square_crop,
@@ -141,7 +142,7 @@ class VideoDatasetBase:
         self.crop_size = crop_size
         self.is_train = is_train
         self.max_retries = max_retries
-        self.rng = np.random.default_rng(seed)
+        self.rng = ThreadSafeRng(seed)  # per-thread under BatchLoader workers
         self.backend = backend
 
     def __len__(self) -> int:
@@ -294,7 +295,7 @@ class PretrainImageDataset:
         self.resize_size = resize_size
         self.crop_size = crop_size
         self.is_train = is_train
-        self.rng = np.random.default_rng(seed)
+        self.rng = ThreadSafeRng(seed)  # per-thread under BatchLoader workers
 
     def __len__(self):
         return len(self.datalist)
@@ -403,7 +404,7 @@ class PretrainCollator:
         self.mlm = mlm
         self.mpm = mpm
         self.patch_size = patch_size
-        self.rng = np.random.default_rng(seed)
+        self.rng = ThreadSafeRng(seed)  # per-thread under BatchLoader workers
 
     def __call__(self, examples: Sequence[dict]) -> Dict[str, np.ndarray]:
         enc = self.tokenizer(

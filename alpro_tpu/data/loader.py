@@ -33,10 +33,22 @@ class BatchLoader:
         seed: int = 0,
         num_shards: int = 1,
         shard_id: int = 0,
+        num_workers: int = 0,
+        prefetch_factor: int = 2,
     ):
         """num_shards/shard_id shard the (seed-synchronized) shuffled order
         across hosts — the DistributedSampler role
-        (`run_video_retrieval.py:115-117`)."""
+        (`run_video_retrieval.py:115-117`).
+
+        num_workers > 0 builds batches (decode + augment + collate) in a
+        thread pool, keeping up to num_workers * prefetch_factor batches in
+        flight ahead of the consumer while preserving batch order — the
+        reference's `DataLoader(num_workers=n)` role (`dataloader.py` +
+        `run_video_retrieval.py:115-129`). Threads, not processes: the decode
+        hot path is the C++ media lib (GIL released during calls), so threads
+        overlap for the expensive part without pickling batches across
+        process boundaries. Datasets/collators must use thread-local RNGs
+        (`alpro_tpu/data/rng.py`) when num_workers > 1."""
         self.dataset = dataset
         self.collator = collator
         self.batch_size = batch_size
@@ -46,6 +58,8 @@ class BatchLoader:
         self._seed = seed
         self.num_shards = num_shards
         self.shard_id = shard_id
+        self.num_workers = num_workers
+        self.prefetch_factor = prefetch_factor
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.num_shards
@@ -53,7 +67,7 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[Dict]:
+    def _index_batches(self) -> List[np.ndarray]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(self._seed + self._epoch)
@@ -63,9 +77,33 @@ class BatchLoader:
         n = len(order)
         self._epoch += 1
         end = n - (n % self.batch_size) if self.drop_last else n
-        for start in range(0, end, self.batch_size):
-            idx = order[start : start + self.batch_size]
-            yield self.collator([self.dataset[int(i)] for i in idx])
+        return [order[s : s + self.batch_size] for s in range(0, end, self.batch_size)]
+
+    def _make(self, idx: np.ndarray) -> Dict:
+        return self.collator([self.dataset[int(i)] for i in idx])
+
+    def __iter__(self) -> Iterator[Dict]:
+        batches = self._index_batches()
+        if self.num_workers <= 0:
+            for idx in batches:
+                yield self._make(idx)
+            return
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        depth = max(self.num_workers * self.prefetch_factor, 1)
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            pending = deque()
+            it = iter(batches)
+            for idx in batches[:depth]:
+                pending.append(pool.submit(self._make, idx))
+                next(it)
+            while pending:
+                batch = pending.popleft().result()
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(pool.submit(self._make, nxt))
+                yield batch
 
 
 class InfiniteIterator:

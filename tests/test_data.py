@@ -313,3 +313,48 @@ def test_prompt_templates_match_reference_verbatim():
             found[node.name] = [ast.literal_eval(e) for e in lists[0].elts]
     assert found["get_video_prompt_templates"] == VIDEO_TEMPLATES
     assert found["get_image_prompt_templates"] == IMAGE_TEMPLATES
+
+
+# ---- worker-pool loader ----------------------------------------------------
+def test_batchloader_workers_preserve_order_and_content():
+    class SquareDataset:
+        def __len__(self):
+            return 37
+
+        def __getitem__(self, i):
+            return i * i
+
+    collate = lambda items: list(items)
+    kw = dict(batch_size=4, shuffle=True, drop_last=True, seed=5)
+    serial = list(BatchLoader(SquareDataset(), collate, **kw))
+    pooled = list(BatchLoader(SquareDataset(), collate, num_workers=3, **kw))
+    assert serial == pooled
+
+
+def test_threadsafe_rng_main_thread_matches_default_rng():
+    from alpro_tpu.data.rng import ThreadSafeRng
+
+    a = ThreadSafeRng(123)
+    b = np.random.default_rng(123)
+    assert a.integers(0, 1000) == b.integers(0, 1000)
+    np.testing.assert_array_equal(a.random(5), b.random(5))
+
+
+def test_threadsafe_rng_distinct_streams_per_thread():
+    import threading
+
+    from alpro_tpu.data.rng import ThreadSafeRng
+
+    rng = ThreadSafeRng(7)
+    draws = {}
+
+    def worker(name):
+        draws[name] = [float(rng.random()) for _ in range(50)]
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    flat = [tuple(v) for v in draws.values()]
+    assert len(set(flat)) == 3  # independent streams, no shared state
