@@ -24,10 +24,22 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from alpro_tpu.parallel.host_sync import all_gather_list, broadcast_object
+from alpro_tpu.parallel.host_sync import all_gather_list, barrier, broadcast_object
 
 gathered = all_gather_list({"rank": pid, "payload": "x" * (10 + pid * 5)})
 bcast = broadcast_object({"seed": 1234} if pid == 0 else None, root=0)
+
+# sharded retrieval-eval merge: each process scores its stripe of videos
+# (run_video_retrieval.py:131 num_shards striping) and the results are
+# merged with all_gather_list (:177-179) — replacing the reference's
+# tmp_results_rank{k}.json shared-FS dance (`run_video_retrieval.py:697-728`)
+vids = [f"video{i}" for i in range(7)]
+my_results = [
+    {"vid_id": v, "score": float(len(v) + pid)} for v in vids[pid::2]
+]
+barrier("pre-merge")
+merged = [r for shard in all_gather_list(my_results) for r in shard]
+barrier("post-merge")
 
 # global mesh over all 4 devices (2 per process); psum of axis_index
 mesh = Mesh(np.asarray(jax.devices()).reshape(4), ("dp",))
@@ -53,6 +65,7 @@ with open(out_path, "w") as f:
         "n_devices": len(jax.devices()),
         "gathered": gathered,
         "bcast": bcast,
+        "merged": merged,
         "psum": total,
     }, f)
 """
@@ -91,4 +104,8 @@ def test_two_process_host_sync_and_mesh(tmp_path):
         assert r["gathered"][1]["payload"] == "x" * 15
         assert r["bcast"] == {"seed": 1234}
         assert r["psum"] == 0.0 + 1 + 2 + 3
+    # sharded eval merge: identical on every rank, covers every video once
+    assert results[0]["merged"] == results[1]["merged"]
+    merged_vids = sorted(m["vid_id"] for m in results[0]["merged"])
+    assert merged_vids == sorted(f"video{i}" for i in range(7))
 """Note: both workers must see the same global values — asserted per worker."""
