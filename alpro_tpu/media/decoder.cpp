@@ -27,6 +27,12 @@ extern "C" {
 
 namespace {
 
+// silence per-frame libav chatter (e.g. swscaler yuvj deprecation warnings)
+// in worker threads; real failures surface through return codes
+struct QuietLog {
+  QuietLog() { av_log_set_level(AV_LOG_ERROR); }
+} quiet_log_;
+
 struct Demux {
   AVFormatContext* fmt = nullptr;
   AVCodecContext* dec = nullptr;

@@ -57,6 +57,13 @@ class TimeSformerConfig:
     drop_path_rate: float = 0.1
     ln_eps: float = 1e-6
     attn_impl: str = "auto"
+    # temporal attention lowering: 'auto'/'xla' (relayout to (B·N, T, D) +
+    # einsum attention — measured 3.65 ms/call at flagship shapes on v5e) |
+    # 'circulant' (δ-roll softmax identity in the native (B, T, N, D) layout;
+    # no relayouts or (T, T) matrices but T× rolled elementwise passes over
+    # the 77 MB tensors make it HBM-bound: 8.9 ms measured — kept as an
+    # opt-in record, see docs/PERF.md)
+    temporal_attn_impl: str = "auto"
     # 'divided_space_time' (ALPRO default) | 'joint_space_time' | 'space_only'
     # (`vit.py:110-111,140-143`)
     attention_type: str = "divided_space_time"
@@ -149,6 +156,28 @@ class VitAttention(nn.Module):
         return out
 
 
+class TemporalCirculantAttention(nn.Module):
+    """Temporal attention over T in the native (B, T, N, D) layout via the
+    circulant δ-roll identity — parameter-compatible with `VitAttention`
+    (same qkv/proj Dense names and shapes, so checkpoints are
+    interchangeable with the relayout+einsum path)."""
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+    proj_drop_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        from alpro_tpu.ops.pallas_temporal_attn import temporal_attention_circulant
+
+        D = x.shape[-1]
+        init = nn.initializers.truncated_normal(0.02)
+        qkv = nn.Dense(3 * D, dtype=self.dtype, kernel_init=init, name="qkv")(x)
+        out = temporal_attention_circulant(qkv, self.num_heads)
+        out = nn.Dense(D, dtype=self.dtype, kernel_init=init, name="proj")(out)
+        return nn.Dropout(self.proj_drop_rate)(out, deterministic=deterministic)
+
+
 class DividedSTBlock(nn.Module):
     """One divided space-time block operating on (cls (B,1,D), x (B,T,N,D))."""
 
@@ -174,17 +203,28 @@ class DividedSTBlock(nn.Module):
         B, T, N, D = x.shape
 
         # ---- temporal attention over T at each patch location ----
+        t_impl = cfg.temporal_attn_impl
+        if t_impl == "auto":
+            # measured on v5e: the relayout+einsum path wins (3.65 vs 8.9 ms
+            # per call at flagship shapes — docs/PERF.md round 2)
+            t_impl = "xla"
         xt = LayerNorm(cfg.ln_eps, dtype=self.dtype, name="temporal_norm1")(x)
-        xt = jnp.moveaxis(xt, 1, 2).reshape(B * N, T, D)
-        t_out = VitAttention(
-            cfg.num_heads,
-            dtype=self.dtype,
-            attn_drop_rate=cfg.attn_drop_rate,
-            proj_drop_rate=cfg.drop_rate,
-            attn_impl="xla",  # T <= 16: too small for the fused kernel
-            name="temporal_attn",
-        )(xt, deterministic)
-        t_out = jnp.moveaxis(t_out.reshape(B, N, T, D), 1, 2)  # (B, T, N, D)
+        if t_impl == "circulant":
+            t_out = TemporalCirculantAttention(
+                cfg.num_heads, dtype=self.dtype, proj_drop_rate=cfg.drop_rate,
+                name="temporal_attn",
+            )(xt, deterministic)  # (B, T, N, D), no relayout
+        else:
+            xt = jnp.moveaxis(xt, 1, 2).reshape(B * N, T, D)
+            t_out = VitAttention(
+                cfg.num_heads,
+                dtype=self.dtype,
+                attn_drop_rate=cfg.attn_drop_rate,
+                proj_drop_rate=cfg.drop_rate,
+                attn_impl="xla",  # T <= 16: too small for the fused kernel
+                name="temporal_attn",
+            )(xt, deterministic)
+            t_out = jnp.moveaxis(t_out.reshape(B, N, T, D), 1, 2)  # (B, T, N, D)
         t_out = self._drop_path(t_out, (B, 1, N, 1), deterministic)
         t_out = nn.Dense(
             D, dtype=self.dtype,

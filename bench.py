@@ -1,44 +1,113 @@
-"""Benchmark: decode→embed throughput (clips/sec/chip) on the real TPU chip.
+"""Benchmark suite for the driver: ONE JSON line, headline + breakdown keys.
 
-Measures the north-star metric from BASELINE.json: clips/sec/chip through the
-input→TimeSformer-B/16 embed path (8×224×224 frames, bf16 compute) including
-host-side clip supply, host→device transfer (uint8, pipelined against
-compute), and on-device normalize — the jitted equivalent of the reference's
-decord→PrefetchLoader(ImageNorm)→TimeSformer hot path
-(`/root/reference/src/datasets/dataloader.py:86-160`,
-`src/modeling/timesformer/vit.py:321-377`).
+Headline (`metric`/`value`/`unit`/`vs_baseline`): chip-side embed throughput,
+clips/sec/chip through normalize→TimeSformer-B/16 (8×224×224, bf16) on
+device-resident uint8 — the chip's capability once the input pipeline keeps
+it fed (a real TPU host feeds PCIe >10 GB/s, where this 19 MB uint8 batch
+costs ~2 ms against >100 ms of compute; this sandbox's ~60–210 MB/s tunnel
+measures the tunnel instead — reported separately as
+`host_fed_via_tunnel_clips_per_sec`).
 
-Timing notes for this environment: the TPU is reached through a tunnel whose
-`block_until_ready` does not reliably block, so the measured region is closed
-by a device→host readback of an accumulated scalar (forces every queued step
-to finish); dispatches are chained so per-call host latency amortizes.
+Breakdown keys:
+  * decode_clips_per_sec_1thread / _4thread — the standalone C++ FFmpeg
+    decoder (`media/decoder.cpp`): seek + decode 8 sampled frames + swscale
+    resize per clip, on synthetic encoded fixtures (the decord role,
+    `/root/reference/src/datasets/dataset_base.py:137-182`).
+  * pipeline_decode_embed_clips_per_sec — true end-to-end: decoder worker
+    threads → center-crop → staging device_put thread → embed, overlapped.
+    Decode-bound on this 1-core sandbox host; scales with host cores.
+  * train_clips_per_sec — full retrieval train step (VTC global-batch
+    contrastive + hard-negative VTM, backward, clip, AdamW), B=8.
+  * retrieval_p50_ms — per-query serving latency: text tower → VTC against a
+    cached 1000-video gallery → top-16 VTM rerank.
 
-vs_baseline: the reference publishes no throughput numbers (BASELINE.md), so
-the A100 figure is *derived*: the reference pipeline is decode-bound — decord
-seek+decode+resize of an 8-frame 256p clip costs ~15-25 ms of CPU per clip and
-the released configs run 4 dataloader workers (`config_release/msrvtt_ret.json`
-num_workers=4), i.e. ~55-65 clips/s/GPU sustained into the model. We use
-A100_BASELINE = 60 clips/s/chip; vs_baseline = ours / 60 (target ≥ 5.0).
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md); the
+A100 figure is derived — its pipeline is decode-bound at ~15–25 ms CPU/clip
+with 4 dataloader workers (`config_release/msrvtt_ret.json` num_workers=4),
+i.e. ~60 clips/s/GPU sustained. vs_baseline = headline / 60 (target ≥ 5).
+
+Timing notes: the TPU sits behind a tunnel whose `block_until_ready` does not
+reliably block, so measured regions close with a device→host scalar readback;
+dispatches are chained so per-call host latency amortizes; best-of-2 trials
+because the tunnel occasionally stalls one trial ~5x.
 """
 
 import json
+import os
 import queue
+import tempfile
 import threading
 import time
 
 import numpy as np
 
 A100_BASELINE_CLIPS_PER_SEC = 60.0
+T, S, B = 8, 224, 16
+DEADLINE_S = float(os.environ.get("ALPRO_BENCH_DEADLINE_S", "2100"))
+_START = time.perf_counter()
+
+
+def _time_left() -> float:
+    return DEADLINE_S - (time.perf_counter() - _START)
+
+
+def bench_decoder(out: dict):
+    """Standalone C++ decoder throughput on encoded fixture videos."""
+    from alpro_tpu.media.binding import MediaDecoder
+    from alpro_tpu.data.sampling import fit_num_frames, sample_frame_indices
+
+    dec = MediaDecoder()
+    tmp = tempfile.mkdtemp(prefix="alpro_bench_")
+    paths = []
+    for i in range(8):
+        p = os.path.join(tmp, f"clip{i}.mp4")
+        assert dec.encode_test_video(p, w=320, h=256, n_frames=120, seed=i)
+        paths.append(p)
+
+    def decode_one(path, dec_local):
+        info = dec_local.probe(path)
+        idx = fit_num_frames(
+            sample_frame_indices(info.num_frames, T, "uniform"), T
+        )
+        clip = dec_local.decode_frames(path, idx, 256, 256)
+        assert clip is not None and clip.shape == (T, 256, 256, 3)
+        return clip
+
+    n = 16
+    t0 = time.perf_counter()
+    for i in range(n):
+        decode_one(paths[i % len(paths)], dec)
+    out["decode_clips_per_sec_1thread"] = round(n / (time.perf_counter() - t0), 2)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(4) as pool:
+        t0 = time.perf_counter()
+        list(pool.map(lambda p: decode_one(p, dec), [paths[i % len(paths)] for i in range(n)]))
+        out["decode_clips_per_sec_4thread"] = round(n / (time.perf_counter() - t0), 2)
+    out["_decoder_paths"] = paths
+    return paths
 
 
 def main():
+    out = {}
+    try:
+        paths = bench_decoder(out)
+    except Exception as e:  # decoder bench must not sink the JSON line
+        out["decode_error"] = repr(e)[:200]
+        paths = []
+
     import jax
     import jax.numpy as jnp
 
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from alpro_tpu.models import TimeSformer, TimeSformerConfig
 
-    B, T, S = 16, 8, 224
-    n_iters = 16
     cfg = TimeSformerConfig(
         img_size=S, patch_size=16, num_frames=T, embed_dim=768, depth=12,
         num_heads=12, drop_path_rate=0.0,
@@ -48,16 +117,10 @@ def main():
         {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, T, S, S, 3), jnp.bfloat16)
     )
 
-    from alpro_tpu.data.transforms import IMAGE_MEAN_CLIP, IMAGE_STD_CLIP
-
-    mean = jnp.asarray(IMAGE_MEAN_CLIP, jnp.float32)
-    std = jnp.asarray(IMAGE_STD_CLIP, jnp.float32)
-
     @jax.jit
     def embed_checksum(params, raw_uint8):
-        x = (raw_uint8.astype(jnp.float32) / 255.0 - mean) / std
-        out = model.apply(params, x.astype(jnp.bfloat16))
-        return out.astype(jnp.float32).sum()
+        # uint8 → on-device normalize (cfg.pixel_mean/std inside the model)
+        return model.apply(params, raw_uint8).astype(jnp.float32).sum()
 
     rng = np.random.RandomState(0)
     host_clips = [
@@ -65,21 +128,15 @@ def main():
         for _ in range(4)
     ]
 
-    # compile + verify readback works
     t0 = time.perf_counter()
     first = float(embed_checksum(params, jax.device_put(host_clips[0])))
-    compile_s = time.perf_counter() - t0
+    out["compile_s"] = round(time.perf_counter() - t0, 1)
     assert np.isfinite(first)
 
-    # 1) sustained embed throughput, raw uint8 batches resident on device —
-    # the chip-side decode→normalize→embed capability. (In this sandbox the
-    # TPU sits behind a ~100 MB/s network tunnel, so host-fed numbers measure
-    # the tunnel, not the chip; a real TPU host feeds >10 GB/s over PCIe,
-    # where the 19 MB uint8 batch costs ~2 ms against ~140 ms of compute.)
+    # 1) headline: sustained embed throughput, device-resident uint8
     dev_clips = [jax.device_put(c) for c in host_clips]
     _ = float(embed_checksum(params, dev_clips[0]))
-    # best of 2 trials: the sandbox tunnel occasionally stalls a trial by 5x
-    # (observed 20.8 vs 111.8 clips/s back-to-back); max is the chip number
+    n_iters = 16
     resident_cps = 0.0
     for _trial in range(2):
         t0 = time.perf_counter()
@@ -108,20 +165,92 @@ def main():
         r = embed_checksum(params, x)
         acc = r if acc is None else acc + r
     _ = float(acc)
-    host_fed_cps = B * n_iters / (time.perf_counter() - t0)
+    out["host_fed_via_tunnel_clips_per_sec"] = round(
+        B * n_iters / (time.perf_counter() - t0), 2
+    )
 
+    # 3) true decode→embed pipeline: C++ decoder workers → crop → device
+    if paths:
+        try:
+            out["pipeline_decode_embed_clips_per_sec"] = round(
+                _pipeline_decode_embed(paths, embed_checksum, params), 2
+            )
+        except Exception as e:
+            out["pipeline_error"] = repr(e)[:200]
+
+    # 4) train step + 5) serving latency (skipped when the deadline nears so
+    # the driver always gets the JSON line)
+    if _time_left() > 600:
+        try:
+            from benchmarks.train_step import measure_train_step
+
+            out["train_clips_per_sec"] = round(measure_train_step(batch=8, iters=8), 2)
+        except Exception as e:
+            out["train_error"] = repr(e)[:200]
+    if _time_left() > 400:
+        try:
+            from benchmarks.retrieval_latency import measure_latency
+
+            lat = measure_latency(n_queries=24)
+            out["retrieval_p50_ms"] = round(lat["p50_ms"], 1)
+            out["retrieval_p90_ms"] = round(lat["p90_ms"], 1)
+        except Exception as e:
+            out["latency_error"] = repr(e)[:200]
+
+    out.pop("_decoder_paths", None)
     print(
         json.dumps(
             {
-                "metric": "clips/sec/chip decode->embed (TimeSformer-B 8x224 bf16)",
+                "metric": "clips/sec/chip embed (TimeSformer-B 8x224 bf16, device-resident uint8; decode measured separately)",
                 "value": round(resident_cps, 2),
                 "unit": "clips/s",
                 "vs_baseline": round(resident_cps / A100_BASELINE_CLIPS_PER_SEC, 3),
-                "host_fed_via_tunnel_clips_per_sec": round(host_fed_cps, 2),
-                "compile_s": round(compile_s, 1),
+                **out,
             }
         )
     )
+
+
+def _pipeline_decode_embed(paths, embed_checksum, params) -> float:
+    """Decoder worker threads → center-crop 224 → staging device_put → embed."""
+    import jax
+
+    from alpro_tpu.data.sampling import fit_num_frames, sample_frame_indices
+    from alpro_tpu.media.binding import MediaDecoder
+
+    dec = MediaDecoder()
+    n_batches = 4
+    from concurrent.futures import ThreadPoolExecutor
+
+    def decode_crop(path):
+        info = dec.probe(path)
+        idx = fit_num_frames(sample_frame_indices(info.num_frames, T, "uniform"), T)
+        clip = dec.decode_frames(path, idx, 256, 256)
+        off = (256 - S) // 2
+        return clip[:, off : off + S, off : off + S, :]
+
+    qq: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def produce():
+        with ThreadPoolExecutor(4) as pool:
+            for bi in range(n_batches):
+                clips = list(
+                    pool.map(decode_crop, [paths[(bi * B + j) % len(paths)] for j in range(B)])
+                )
+                qq.put(jax.device_put(np.stack(clips)))
+        qq.put(None)
+
+    threading.Thread(target=produce, daemon=True).start()
+    t0 = time.perf_counter()
+    acc = None
+    while True:
+        x = qq.get()
+        if x is None:
+            break
+        r = embed_checksum(params, x)
+        acc = r if acc is None else acc + r
+    _ = float(acc)
+    return B * n_batches / (time.perf_counter() - t0)
 
 
 if __name__ == "__main__":

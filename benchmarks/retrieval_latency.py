@@ -8,6 +8,7 @@ embeddings are precomputed (the serving shape of text→video retrieval):
 
 Usage: python benchmarks/retrieval_latency.py [--gallery 1000] [--topk 16]
 Prints a JSON line with p50/p90 latency in ms.
+Importable as `measure_latency(...)` (used by bench.py).
 """
 
 import argparse
@@ -22,16 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--gallery", type=int, default=1000)
-    ap.add_argument("--topk", type=int, default=16)
-    ap.add_argument("--queries", type=int, default=50)
-    ap.add_argument("--num_frm", type=int, default=8)
-    ap.add_argument("--img_size", type=int, default=224)
-    ap.add_argument("--max_txt_len", type=int, default=40)
-    args = ap.parse_args()
-
+def measure_latency(gallery=1000, topk=16, n_queries=50, num_frm=8,
+                    img_size=224, max_txt_len=40) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -39,30 +32,28 @@ def main():
     from alpro_tpu.train.step import make_fusion_score_fn, make_text_encode_fn
 
     vis = TimeSformerConfig(
-        img_size=args.img_size, patch_size=16, num_frames=args.num_frm,
+        img_size=img_size, patch_size=16, num_frames=num_frm,
         drop_path_rate=0.0,
     )
     bert = BertConfig()
     model = build_retrieval_model(bert, vis, dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
-    L = args.max_txt_len
+    L = max_txt_len
     params = model.init(
         {"params": jax.random.PRNGKey(0)},
-        jnp.zeros((1, args.num_frm, args.img_size, args.img_size, 3), jnp.bfloat16),
+        jnp.zeros((1, num_frm, img_size, img_size, 3), jnp.bfloat16),
         jnp.zeros((1, L), jnp.int32), jnp.ones((1, L), jnp.int32),
     )
 
     # cached gallery: video token banks would live in HBM in serving; the
     # latency path only touches the top-k slice of them
     N = vis.num_patches + 1
-    video_feat_bank = jnp.asarray(
-        rng.randn(args.gallery, 256).astype(np.float32)
-    )
+    video_feat_bank = jnp.asarray(rng.randn(gallery, 256).astype(np.float32))
     video_feat_bank = video_feat_bank / jnp.linalg.norm(
         video_feat_bank, axis=-1, keepdims=True
     )
     topk_tokens = jnp.asarray(
-        rng.randn(args.topk, N, 768).astype(np.float32), jnp.bfloat16
+        rng.randn(topk, N, 768).astype(np.float32), jnp.bfloat16
     )
 
     encode_text = jax.jit(make_text_encode_fn(model))
@@ -74,11 +65,11 @@ def main():
             "text_input_ids": ids, "text_input_mask": mask,
         })
         sims = (tfeat @ bank.T)[0]
-        _top = jax.lax.top_k(sims, args.topk)
+        _top = jax.lax.top_k(sims, topk)
         te_rep = jnp.broadcast_to(
-            text_embeds, (args.topk,) + text_embeds.shape[1:]
+            text_embeds, (topk,) + text_embeds.shape[1:]
         )
-        mask_rep = jnp.broadcast_to(mask, (args.topk,) + mask.shape[1:])
+        mask_rep = jnp.broadcast_to(mask, (topk,) + mask.shape[1:])
         logits = fusion_score(params, te_rep, mask_rep, topk_tokens)
         return sims, logits
 
@@ -88,18 +79,38 @@ def main():
     _ = np.asarray(logits)  # compile + sync
 
     lat = []
-    for i in range(args.queries):
+    for i in range(n_queries):
         ids = jnp.asarray(rng.randint(0, 30522, (1, L)).astype(np.int32))
         t0 = time.perf_counter()
         sims, logits = query(params, ids, mask, video_feat_bank, topk_tokens)
         _ = np.asarray(logits)
         lat.append((time.perf_counter() - t0) * 1000)
     lat = np.asarray(lat)
+    return {
+        "p50_ms": float(np.percentile(lat, 50)),
+        "p90_ms": float(np.percentile(lat, 90)),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gallery", type=int, default=1000)
+    ap.add_argument("--topk", type=int, default=16)
+    ap.add_argument("--queries", type=int, default=50)
+    ap.add_argument("--num_frm", type=int, default=8)
+    ap.add_argument("--img_size", type=int, default=224)
+    ap.add_argument("--max_txt_len", type=int, default=40)
+    args = ap.parse_args()
+    r = measure_latency(
+        gallery=args.gallery, topk=args.topk, n_queries=args.queries,
+        num_frm=args.num_frm, img_size=args.img_size,
+        max_txt_len=args.max_txt_len,
+    )
     print(json.dumps({
         "metric": f"p50 per-query retrieval latency (gallery={args.gallery}, topk={args.topk} VTM rerank)",
-        "value": round(float(np.percentile(lat, 50)), 2),
+        "value": round(r["p50_ms"], 2),
         "unit": "ms",
-        "p90_ms": round(float(np.percentile(lat, 90)), 2),
+        "p90_ms": round(r["p90_ms"], 2),
     }))
 
 

@@ -3,6 +3,7 @@ hard negatives, backward, AdamW update) on the flagship model.
 
 Usage: python benchmarks/train_step.py [--batch 8] [--iters 8]
 Prints one JSON line with clips/s (train) on the current backend.
+Importable as `measure_train_step(...)` (used by bench.py).
 """
 
 import argparse
@@ -17,15 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--iters", type=int, default=8)
-    ap.add_argument("--num_frm", type=int, default=8)
-    ap.add_argument("--img_size", type=int, default=224)
-    ap.add_argument("--depth", type=int, default=12)
-    args = ap.parse_args()
-
+def measure_train_step(batch=8, iters=8, num_frm=8, img_size=224, depth=12) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -34,24 +27,24 @@ def main():
     from alpro_tpu.train.step import make_retrieval_train_step
 
     vis = TimeSformerConfig(
-        img_size=args.img_size, patch_size=16, num_frames=args.num_frm,
-        depth=args.depth, drop_path_rate=0.1,
+        img_size=img_size, patch_size=16, num_frames=num_frm,
+        depth=depth, drop_path_rate=0.1,
     )
     bert = BertConfig()
     model = build_retrieval_model(bert, vis, dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
-    B, L = args.batch, 40
-    batch = {
+    B, L = batch, 40
+    data = {
         "visual_inputs": jax.device_put(
-            rng.randint(0, 255, (B, args.num_frm, args.img_size, args.img_size, 3), np.uint8)
+            rng.randint(0, 255, (B, num_frm, img_size, img_size, 3), np.uint8)
         ),
         "text_input_ids": jnp.asarray(rng.randint(0, 30522, (B, L)).astype(np.int32)),
         "text_input_mask": jnp.ones((B, L), jnp.int32),
     }
     params = model.init(
         {"params": jax.random.PRNGKey(0)},
-        jnp.zeros((1, args.num_frm, args.img_size, args.img_size, 3), jnp.bfloat16),
-        batch["text_input_ids"][:1], batch["text_input_mask"][:1],
+        jnp.zeros((1, num_frm, img_size, img_size, 3), jnp.bfloat16),
+        data["text_input_ids"][:1], data["text_input_mask"][:1],
     )
     tx = build_optimizer(get_lr_schedule("linear", 1e-4, 1000), grad_norm=5.0)
     step = jax.jit(make_retrieval_train_step(model, tx), donate_argnums=(0,))
@@ -59,25 +52,44 @@ def main():
     key = jax.random.PRNGKey(0)
 
     t0 = time.perf_counter()
-    state, m = step(state, batch, key)
+    state, m = step(state, data, key)
     loss = float(m["loss"])  # readback: forces completion
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     last = None
-    for _ in range(args.iters):
-        state, m = step(state, batch, key)
+    for _ in range(iters):
+        state, m = step(state, data, key)
         last = m["loss"]
     _ = float(last)
-    dt = (time.perf_counter() - t0) / args.iters
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "clips_per_sec": B / dt,
+        "ms_per_step": dt * 1000,
+        "compile_s": compile_s,
+        "loss": loss,
+    }
 
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--num_frm", type=int, default=8)
+    ap.add_argument("--img_size", type=int, default=224)
+    ap.add_argument("--depth", type=int, default=12)
+    args = ap.parse_args()
+    r = measure_train_step(
+        batch=args.batch, iters=args.iters, num_frm=args.num_frm,
+        img_size=args.img_size, depth=args.depth,
+    )
     print(json.dumps({
-        "metric": f"train clips/s (retrieval step, B={B}, VTC+VTM, bf16)",
-        "value": round(B / dt, 2),
+        "metric": f"train clips/s (retrieval step, B={args.batch}, VTC+VTM, bf16)",
+        "value": round(r["clips_per_sec"], 2),
         "unit": "clips/s",
-        "ms_per_step": round(dt * 1000, 1),
-        "compile_s": round(compile_s, 1),
-        "loss": round(loss, 4),
+        "ms_per_step": round(r["ms_per_step"], 1),
+        "compile_s": round(r["compile_s"], 1),
+        "loss": round(r["loss"], 4),
     }))
 
 

@@ -49,3 +49,28 @@ def test_each_patch_independent():
         np.asarray(out1)[:, :, mask], np.asarray(out2)[:, :, mask], atol=1e-6
     )
     assert not np.allclose(np.asarray(out1)[:, :, 2], np.asarray(out2)[:, :, 2])
+
+
+def test_divided_block_circulant_impl_matches_xla_impl():
+    """The circulant temporal lowering wired into DividedSTBlock is
+    parameter-compatible and numerically equal to the relayout+einsum path."""
+    import jax
+    import jax.numpy as jnp
+
+    from alpro_tpu.models import TimeSformer, TimeSformerConfig
+
+    base = dict(
+        img_size=32, patch_size=16, num_frames=4, embed_dim=48, depth=2,
+        num_heads=4, drop_path_rate=0.0,
+    )
+    m_xla = TimeSformer(TimeSformerConfig(temporal_attn_impl="xla", **base))
+    m_circ = TimeSformer(TimeSformerConfig(temporal_attn_impl="circulant", **base))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 4, 32, 32, 3).astype(np.float32))
+    params = m_xla.init({"params": jax.random.PRNGKey(0)}, x)
+    # identical param trees: the circulant module reuses qkv/proj names
+    p2 = m_circ.init({"params": jax.random.PRNGKey(0)}, x)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+    a = m_xla.apply(params, x)
+    b = m_circ.apply(params, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-5)
