@@ -156,24 +156,33 @@ class VitAttention(nn.Module):
         return out
 
 
-class TemporalCirculantAttention(nn.Module):
-    """Temporal attention over T in the native (B, T, N, D) layout via the
-    circulant δ-roll identity — parameter-compatible with `VitAttention`
-    (same qkv/proj Dense names and shapes, so checkpoints are
-    interchangeable with the relayout+einsum path)."""
+class TemporalNativeLayoutAttention(nn.Module):
+    """Temporal attention over T in the native (B, T, N, D) layout —
+    parameter-compatible with `VitAttention` (same qkv/proj Dense names and
+    shapes, so checkpoints are interchangeable with the relayout+einsum
+    path). `impl`: 'packed' (MXU-packed block-diagonal tiles — the fast path
+    on TPU) or 'circulant' (δ-roll identity; measured slower, kept as a
+    record)."""
 
     num_heads: int
+    impl: str = "packed"
     dtype: jnp.dtype = jnp.float32
     proj_drop_rate: float = 0.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        from alpro_tpu.ops.pallas_temporal_attn import temporal_attention_circulant
+        from alpro_tpu.ops.pallas_temporal_attn import (
+            temporal_attention_circulant,
+            temporal_attention_packed,
+        )
 
         D = x.shape[-1]
         init = nn.initializers.truncated_normal(0.02)
         qkv = nn.Dense(3 * D, dtype=self.dtype, kernel_init=init, name="qkv")(x)
-        out = temporal_attention_circulant(qkv, self.num_heads)
+        if self.impl == "packed":
+            out = temporal_attention_packed(qkv, self.num_heads)
+        else:
+            out = temporal_attention_circulant(qkv, self.num_heads)
         out = nn.Dense(D, dtype=self.dtype, kernel_init=init, name="proj")(out)
         return nn.Dropout(self.proj_drop_rate)(out, deterministic=deterministic)
 
@@ -209,10 +218,10 @@ class DividedSTBlock(nn.Module):
             # per call at flagship shapes — docs/PERF.md round 2)
             t_impl = "xla"
         xt = LayerNorm(cfg.ln_eps, dtype=self.dtype, name="temporal_norm1")(x)
-        if t_impl == "circulant":
-            t_out = TemporalCirculantAttention(
-                cfg.num_heads, dtype=self.dtype, proj_drop_rate=cfg.drop_rate,
-                name="temporal_attn",
+        if t_impl in ("circulant", "packed"):
+            t_out = TemporalNativeLayoutAttention(
+                cfg.num_heads, impl=t_impl, dtype=self.dtype,
+                proj_drop_rate=cfg.drop_rate, name="temporal_attn",
             )(xt, deterministic)  # (B, T, N, D), no relayout
         else:
             xt = jnp.moveaxis(xt, 1, 2).reshape(B * N, T, D)

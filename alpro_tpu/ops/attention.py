@@ -6,10 +6,18 @@ Two implementations behind one API:
                  that keeps the (S_q, S_k) score matrix in VMEM, avoiding the
                  HBM round-trip of the attention probabilities.
 
-``auto`` picks pallas on TPU for the sequence lengths where it wins (spatial
-197-token and fusion ~247-token attentions) and xla elsewhere (e.g. the tiny
-temporal attention over T ≤ 16 frames, where the matmuls are too small for a
-custom kernel to matter).
+``auto`` resolves to ``xla``: measured on v5e at ALPRO shapes (docs/PERF.md
+round 2), XLA's lowering edges out both Pallas kernels (standalone spatial
+qkv→out: xla 2.61 ms vs bshd-pallas 2.99 ms; in-model round 1: 137.4 vs
+138.0 ms), and the per-block kernel instances inflate the HLO payload past
+this sandbox's remote-compile limit. The kernels remain tested opt-ins via
+``impl='pallas'``.
+
+When compute runs in bf16, the materialized score buffer is stored in bf16
+(softmax math still fp32 in-register) — halving the largest intermediate's
+HBM traffic, and matching the reference's apex-fp16 behaviour, which holds
+fp16 scores (`run_video_retrieval.py:329-331` amp O2). fp32 compute keeps
+fp32 scores, so checkpoint-parity tests are bit-identical.
 
 Replaces the reference's cuDNN softmax-attention in
 `src/modeling/timesformer/vit.py:81-100` and `src/modeling/xbert.py:216-346`.
@@ -58,12 +66,7 @@ def multi_head_attention(
 
     use_dropout = dropout_rate > 0.0 and not deterministic
     if impl == "auto":
-        # pallas path has no attention-prob dropout; fall back under dropout
-        impl = (
-            "pallas"
-            if (_on_tpu() and q.shape[-2] >= 64 and not use_dropout)
-            else "xla"
-        )
+        impl = "xla"  # measured faster than the pallas kernels (module docstring)
 
     if impl == "pallas":
         from alpro_tpu.ops.pallas_attn import fused_attention
@@ -93,7 +96,11 @@ def _xla_attention(
         # extended-mask constant so converted checkpoints reproduce numerics
         bias = (1.0 - key_mask.astype(jnp.float32)) * -10000.0
         scores = scores + bias[:, None, None, :]
-    probs = jax.nn.softmax(scores, axis=-1)
+    if dtype == jnp.bfloat16:
+        # store the (q, k) score buffer in bf16 (matmul-epilogue convert);
+        # softmax math below still runs fp32 in-register
+        scores = scores.astype(jnp.bfloat16)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     if dropout_rate > 0.0 and not deterministic:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
         probs = probs * keep / (1.0 - dropout_rate)
@@ -122,19 +129,20 @@ def multi_head_attention_bshd(
         scale = q.shape[-1] ** -0.5
     use_dropout = dropout_rate > 0.0 and not deterministic
     if impl == "auto":
-        impl = (
-            "pallas"
-            if (_on_tpu() and q.shape[1] >= 64 and not use_dropout)
-            else "xla"
-        )
+        impl = "xla"  # measured faster than the pallas kernels (module docstring)
     if impl == "pallas":
-        from alpro_tpu.ops.pallas_attn import fused_attention
+        from alpro_tpu.ops.pallas_attn import fused_attention_bshd
 
-        out = fused_attention(
-            jnp.moveaxis(q, 1, 2), jnp.moveaxis(k, 1, 2),
-            jnp.moveaxis(v, 1, 2), key_mask=key_mask, scale=scale,
+        B, Sq, H, hd = q.shape
+        Sk = k.shape[1]
+        # flat-channel reshapes are free (no data movement); the kernel
+        # slices each head's hd window via its BlockSpec index map, so the
+        # (B,S,H,hd)→(B,H,S,hd) transposes never materialize
+        out = fused_attention_bshd(
+            q.reshape(B, Sq, H * hd), k.reshape(B, Sk, H * hd),
+            v.reshape(B, Sk, H * hd), H, key_mask=key_mask, scale=scale,
         )
-        return jnp.moveaxis(out, 1, 2)
+        return out.reshape(B, Sq, H, hd)
 
     dtype = q.dtype
     scores = jnp.einsum(
@@ -144,7 +152,10 @@ def multi_head_attention_bshd(
     if key_mask is not None:
         bias = (1.0 - key_mask.astype(jnp.float32)) * -10000.0
         scores = scores + bias[:, None, None, :]
-    probs = jax.nn.softmax(scores, axis=-1)
+    if dtype == jnp.bfloat16:
+        # bf16 score buffer, fp32 softmax math (module docstring)
+        scores = scores.astype(jnp.bfloat16)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     if use_dropout:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
         probs = probs * keep / (1.0 - dropout_rate)

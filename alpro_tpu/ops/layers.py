@@ -21,11 +21,17 @@ def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm with fp32 statistics and configurable output dtype."""
+    """LayerNorm with fp32 statistics and configurable output dtype.
+
+    impl: 'auto' (fused Pallas kernel on TPU for 128-multiple dims — one HBM
+    round-trip instead of XLA's ~86 GB/s convert+reduce fusions, docs/PERF.md
+    round 2) | 'xla' | 'pallas'.
+    """
 
     epsilon: float = 1e-12
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -36,9 +42,21 @@ class LayerNorm(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (dim,), self.param_dtype
         )
+        impl = self.impl
+        if impl == "auto":
+            # measured on v5e (docs/PERF.md round 2): XLA's convert+reduce
+            # fusion (1.35 ms at 25k×768 bf16) edges out the Pallas kernel
+            # (1.52 ms) — both ~110 GB/s, i.e. HBM-bound either way — and 37
+            # kernel instances inflate the HLO past this sandbox's remote-
+            # compile payload limit. Keep XLA; the kernel stays as a tested
+            # opt-in.
+            impl = "xla"
+        if impl == "pallas":
+            from alpro_tpu.ops.pallas_layernorm import fused_layernorm
+
+            return fused_layernorm(x, scale, bias, float(self.epsilon), self.dtype)
         # one-pass fp32 statistics (E[x²] − E[x]²): a single read of x instead
-        # of the two-pass mean/centered-variance — profiling showed the LN
-        # convert+reduce fusions at ~20 ms/step on the full model
+        # of the two-pass mean/centered-variance
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         mean_sq = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)

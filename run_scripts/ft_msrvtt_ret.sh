@@ -1,0 +1,11 @@
+#!/usr/bin/env bash
+# mirrors /root/reference/run_scripts/ft_msrvtt_ret.sh (horovodrun dropped: GSPMD dp
+# mesh spans all local chips from one process)
+cd "$(dirname "$0")/.."
+export PYTHONPATH="$PYTHONPATH:$PWD"
+
+CONFIG_PATH='configs/msrvtt_ret.json'
+
+python -m alpro_tpu.cli.run_video_retrieval \
+      --config $CONFIG_PATH \
+      --output_dir output/ft_msrvtt_ret/$(date '+%Y%m%d%H%M%S') "$@"

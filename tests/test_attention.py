@@ -63,3 +63,77 @@ def test_auto_dispatch_cpu_is_xla():
     out = multi_head_attention(q, k, v, impl="auto")
     want = multi_head_attention(q, k, v, impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-6)
+
+
+# ---- bshd-native kernel (head slices via BlockSpec, no transposes) --------
+def _mk_bshd(B=2, H=3, Sq=17, Sk=23, hd=8, seed=0):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(B, Sq, H * hd).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, Sk, H * hd).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, Sk, H * hd).astype(np.float32))
+    return q, k, v
+
+
+def _bshd_reference(q, k, v, H, mask=None):
+    B, Sq, D = q.shape
+    Sk = k.shape[1]
+    hd = D // H
+    out = multi_head_attention(
+        jnp.moveaxis(q.reshape(B, Sq, H, hd), 1, 2),
+        jnp.moveaxis(k.reshape(B, Sk, H, hd), 1, 2),
+        jnp.moveaxis(v.reshape(B, Sk, H, hd), 1, 2),
+        key_mask=mask, impl="xla",
+    )
+    return jnp.moveaxis(out, 1, 2).reshape(B, Sq, D)
+
+
+def test_bshd_kernel_matches_xla():
+    from alpro_tpu.ops.pallas_attn import fused_attention_bshd
+
+    q, k, v = _mk_bshd()
+    want = _bshd_reference(q, k, v, 3)
+    got = fused_attention_bshd(q, k, v, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_bshd_kernel_matches_xla_masked():
+    from alpro_tpu.ops.pallas_attn import fused_attention_bshd
+
+    q, k, v = _mk_bshd(seed=2)
+    mask = np.ones((2, 23), np.int32)
+    mask[0, 10:] = 0
+    mask[1, 5:] = 0
+    want = _bshd_reference(q, k, v, 3, jnp.asarray(mask))
+    got = fused_attention_bshd(q, k, v, 3, key_mask=jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_bshd_kernel_gradients():
+    from alpro_tpu.ops.pallas_attn import fused_attention_bshd
+
+    q, k, v = _mk_bshd(B=1, H=2, Sq=9, Sk=11, hd=4, seed=3)
+    mask = jnp.asarray(np.array([[1] * 7 + [0] * 4], np.int32))
+
+    def loss_pallas(q, k, v):
+        return (fused_attention_bshd(q, k, v, 2, key_mask=mask) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (_bshd_reference(q, k, v, 2, mask) ** 2).sum()
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_mha_bshd_pallas_branch_matches_xla_branch():
+    from alpro_tpu.ops.attention import multi_head_attention_bshd
+
+    rng = np.random.RandomState(5)
+    B, S, H, hd = 2, 19, 3, 8
+    q = jnp.asarray(rng.randn(B, S, H, hd).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, S, H, hd).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, S, H, hd).astype(np.float32))
+    a = multi_head_attention_bshd(q, k, v, impl="xla")
+    b = multi_head_attention_bshd(q, k, v, impl="pallas")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

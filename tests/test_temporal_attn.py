@@ -65,6 +65,7 @@ def test_divided_block_circulant_impl_matches_xla_impl():
     )
     m_xla = TimeSformer(TimeSformerConfig(temporal_attn_impl="xla", **base))
     m_circ = TimeSformer(TimeSformerConfig(temporal_attn_impl="circulant", **base))
+    m_packed = TimeSformer(TimeSformerConfig(temporal_attn_impl="packed", **base))
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(2, 4, 32, 32, 3).astype(np.float32))
     params = m_xla.init({"params": jax.random.PRNGKey(0)}, x)
@@ -73,4 +74,40 @@ def test_divided_block_circulant_impl_matches_xla_impl():
     assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
     a = m_xla.apply(params, x)
     b = m_circ.apply(params, x)
+    c = m_packed.apply(params, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-5, rtol=1e-5)
+
+
+def test_packed_matches_reference_math():
+    import jax.numpy as jnp
+
+    from alpro_tpu.ops.pallas_temporal_attn import (
+        _xla_reference,
+        temporal_attention_packed,
+    )
+
+    rng = np.random.RandomState(3)
+    for B, T, N, D, H in [(2, 4, 9, 24, 4), (1, 8, 33, 16, 2), (2, 3, 16, 12, 3)]:
+        qkv = jnp.asarray(rng.randn(B, T, N, 3 * D).astype(np.float32) * 0.3)
+        ref = _xla_reference(qkv, H)
+        got = temporal_attention_packed(qkv, H, pack=4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_packed_gradients_match_reference_math():
+    import jax
+    import jax.numpy as jnp
+
+    from alpro_tpu.ops.pallas_temporal_attn import (
+        _xla_reference,
+        temporal_attention_packed,
+    )
+
+    rng = np.random.RandomState(4)
+    qkv = jnp.asarray(rng.randn(2, 4, 9, 36).astype(np.float32) * 0.3)
+    g_ref = jax.grad(lambda x: (_xla_reference(x, 3) ** 2).sum())(qkv)
+    g_got = jax.grad(
+        lambda x: (temporal_attention_packed(x, 3, pack=4) ** 2).sum()
+    )(qkv)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=1e-4, rtol=1e-4)
