@@ -86,6 +86,11 @@ def build_model_from_cfg(cfg: Config, task: str) -> AlproModel:
         pixel_std=tuple(cfg.get("img_pixel_std") or (0.26862954, 0.26130258, 0.27577711)),
         fused_patchify=cfg.get("fused_patchify", "auto"),
     )
+    scan = bool(cfg.get("scan_blocks", True))
+    import dataclasses
+
+    bert = dataclasses.replace(bert, scan_blocks=scan)
+    vis = dataclasses.replace(vis, scan_blocks=scan)
     dtype = compute_dtype(cfg)
     if task == "retrieval":
         return build_retrieval_model(bert, vis, dtype=dtype)
@@ -104,17 +109,28 @@ def build_model_from_cfg(cfg: Config, task: str) -> AlproModel:
 
 
 def init_params(model: AlproModel, cfg: Config, seed: int = 0):
+    """Init in the model's param layout. Scanned models initialize through
+    their unrolled twin (preserving the reference's per-block init, e.g. the
+    non-zero block-0 temporal_fc) and stack the tree."""
+    from alpro_tpu.models.scan_utils import to_model_layout, unrolled_twin
+
     T = cfg.num_frm
     S = cfg.crop_img_size
     pixels = jnp.zeros((1, T, S, S, 3), jnp.float32)
     ids = jnp.zeros((1, cfg.max_txt_len), jnp.int32)
     mask = jnp.ones((1, cfg.max_txt_len), jnp.int32)
-    return model.init({"params": jax.random.PRNGKey(seed)}, pixels, ids, mask)
+    params = unrolled_twin(model).init(
+        {"params": jax.random.PRNGKey(seed)}, pixels, ids, mask
+    )
+    return to_model_layout(params, model)
 
 
-def maybe_load_e2e_weights(params, cfg: Config, remove_text_encoder_prefix=False):
+def maybe_load_e2e_weights(params, cfg: Config, remove_text_encoder_prefix=False,
+                           model: Optional[AlproModel] = None):
     """Merge a converted reference checkpoint over the init tree (missing keys
-    keep their init values, like the reference's strict=False load)."""
+    keep their init values, like the reference's strict=False load).
+    Converted checkpoints speak the unrolled layout; when `model` is scanned,
+    the merge happens in unrolled space and the result is re-stacked."""
     path = cfg.get("e2e_weights_path")
     if not path:
         return params
@@ -126,6 +142,12 @@ def maybe_load_e2e_weights(params, cfg: Config, remove_text_encoder_prefix=False
         path, num_patches=num_patches, num_frames=cfg.num_frm,
         remove_text_encoder_prefix=remove_text_encoder_prefix,
     )
+    if model is not None:
+        from alpro_tpu.models.scan_utils import to_model_layout, to_unrolled_layout
+
+        return to_model_layout(
+            merge_params(to_unrolled_layout(params, model), loaded), model
+        )
     return merge_params(params, loaded)
 
 
@@ -135,17 +157,22 @@ def load_inference_params(model: AlproModel, cfg: Config,
     (`run_video_retrieval.py:773-780`): `--inference_model_step N` loads the
     run's own `ckpt/model_step_N` (orbax); otherwise `e2e_weights_path`
     (converted torch checkpoint); otherwise fresh init."""
+    from alpro_tpu.models.scan_utils import to_model_layout, to_unrolled_layout
+
     params = init_params(model, cfg)
     step = str(cfg.get("inference_model_step", "") or "")
     if step and cfg.get("output_dir"):
         from alpro_tpu.checkpoint.orbax_io import load_params
 
         path = os.path.join(cfg.output_dir, "ckpt", f"model_step_{step}")
-        restored = load_params(path, target=jax.device_get(params))
+        # deploy checkpoints are stored in the unrolled layout
+        target = to_unrolled_layout(jax.device_get(params), model)
+        restored = load_params(path, target=target)
         LOGGER.info("loaded inference params from %s", path)
-        return restored
+        return to_model_layout(restored, model)
     return maybe_load_e2e_weights(
-        params, cfg, remove_text_encoder_prefix=remove_text_encoder_prefix
+        params, cfg, remove_text_encoder_prefix=remove_text_encoder_prefix,
+        model=model,
     )
 
 
@@ -204,6 +231,7 @@ def setup_training(cfg: Config, model: AlproModel, make_step: Callable,
     params = maybe_load_e2e_weights(
         params, cfg,
         remove_text_encoder_prefix=bool(cfg.get("remove_text_encoder_prefix", False)),
+        model=model,
     )
 
     n_dev = len(jax.devices())
@@ -352,8 +380,15 @@ def _drop_non_arrays(batch: Dict) -> Dict:
 
 
 def default_save_model_fn(cfg: Config, model: AlproModel):
+    """Deploy checkpoints are always written in the unrolled layout, so
+    converters/exporters and non-scanned consumers read them unchanged."""
+    from alpro_tpu.models.scan_utils import to_unrolled_layout
+
     def save(state, step):
         if cfg.get("output_dir"):
-            save_params(cfg.output_dir, step, jax.device_get(state.params))
+            save_params(
+                cfg.output_dir, step,
+                to_unrolled_layout(jax.device_get(state.params), model),
+            )
 
     return save

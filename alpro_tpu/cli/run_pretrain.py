@@ -112,7 +112,17 @@ def start_training(cfg: Config):
                 tw, num_patches=(cfg.crop_img_size // 16) ** 2,
                 num_frames=cfg.num_frm,
             )
-            teacher_params = common.merge_params(teacher_params, loaded)
+            from alpro_tpu.models.scan_utils import (
+                to_model_layout,
+                to_unrolled_layout,
+            )
+
+            teacher_params = to_model_layout(
+                common.merge_params(
+                    to_unrolled_layout(teacher_params, teacher), loaded
+                ),
+                teacher,
+            )
         else:
             LOGGER.warning("teacher_weights_path missing; teacher runs from init")
         banks = setup_prompt_banks(cfg, teacher, teacher_params, tokenizer)

@@ -227,10 +227,9 @@ def start_training(cfg: Config):
     )
     validate(model, state, eval_ds, tokenizer, cfg, "final")
     if cfg.get("output_dir"):
-        from alpro_tpu.checkpoint.orbax_io import save_params
-
-        save_params(cfg.output_dir, int(np.asarray(jax.device_get(state.step))),
-                    jax.device_get(state.params))
+        common.default_save_model_fn(cfg, model)(
+            state, int(np.asarray(jax.device_get(state.step)))
+        )
     return state
 
 

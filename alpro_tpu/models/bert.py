@@ -46,6 +46,10 @@ class BertConfig:
     attn_impl: str = "auto"
     # per-layer remat (HF-style gradient checkpointing, `xbert.py:569-591`)
     gradient_checkpointing: bool = False
+    # lax.scan the text/fusion layer stacks (one compiled layer body per
+    # stack; param tree layer_{i}/* → layers_text|layers_fusion/layer/*
+    # stacked — convert with `models.scan_utils.stack_bert`)
+    scan_blocks: bool = False
 
     @classmethod
     def from_json_dict(cls, d: dict) -> "BertConfig":
@@ -149,6 +153,20 @@ class BertLayer(nn.Module):
         return x
 
 
+class _ScanBertLayer(nn.Module):
+    """Scan body wrapping one BertLayer under the fixed name 'layer'."""
+
+    cfg: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attention_mask, deterministic):
+        x = BertLayer(self.cfg, dtype=self.dtype, name="layer")(
+            x, attention_mask, deterministic
+        )
+        return x, None
+
+
 class BertModel(nn.Module):
     """Mode-routed encoder. For mode='fusion', pass ``encoder_embeds``."""
 
@@ -157,16 +175,40 @@ class BertModel(nn.Module):
 
     def setup(self):
         self.embeddings = BertEmbeddings(self.cfg, dtype=self.dtype)
-        layer_cls = BertLayer
-        if self.cfg.gradient_checkpointing:
-            layer_cls = nn.remat(
-                BertLayer, static_argnums=(3,),
-                policy=jax.checkpoint_policies.nothing_saveable,
+        if self.cfg.scan_blocks:
+            body = _ScanBertLayer
+            if self.cfg.gradient_checkpointing:
+                body = nn.remat(
+                    body, static_argnums=(3,), prevent_cse=False,
+                    policy=jax.checkpoint_policies.nothing_saveable,
+                )
+
+            def mk_stack(length, name):
+                return nn.scan(
+                    body,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    in_axes=(nn.broadcast, nn.broadcast),
+                    length=length,
+                )(self.cfg, dtype=self.dtype, name=name)
+
+            self.layers_text = mk_stack(self.cfg.fusion_layer, "layers_text")
+            self.layers_fusion = mk_stack(
+                self.cfg.num_hidden_layers - self.cfg.fusion_layer,
+                "layers_fusion",
             )
-        self.layers = [
-            layer_cls(self.cfg, dtype=self.dtype, name=f"layer_{i}")
-            for i in range(self.cfg.num_hidden_layers)
-        ]
+            self.layers = None
+        else:
+            layer_cls = BertLayer
+            if self.cfg.gradient_checkpointing:
+                layer_cls = nn.remat(
+                    BertLayer, static_argnums=(3,),
+                    policy=jax.checkpoint_policies.nothing_saveable,
+                )
+            self.layers = [
+                layer_cls(self.cfg, dtype=self.dtype, name=f"layer_{i}")
+                for i in range(self.cfg.num_hidden_layers)
+            ]
 
     def __call__(
         self,
@@ -194,6 +236,12 @@ class BertModel(nn.Module):
         if attention_mask is None:
             attention_mask = jnp.ones(x.shape[:2], dtype=jnp.int32)
 
+        if self.cfg.scan_blocks:
+            if mode in ("text", "multi_modal"):
+                x, _ = self.layers_text(x, attention_mask, deterministic)
+            if mode in ("fusion", "multi_modal"):
+                x, _ = self.layers_fusion(x, attention_mask, deterministic)
+            return x
         for i in range(lo, hi):
             x = self.layers[i](x, attention_mask, deterministic)
         return x

@@ -78,6 +78,12 @@ class TimeSformerConfig:
     # per-block CheckpointFunction, `src/utils/grad_ckpt.py:23-42` used at
     # `timesformer/vit.py:150-208`); on TPU this trades HBM for FLOPs
     gradient_checkpointing: bool = False
+    # lax.scan over the block stack instead of a 12×-unrolled python loop:
+    # one compiled block body → ~12× smaller HLO and much faster compiles
+    # (this sandbox's remote-compile relay rejects oversized payloads —
+    # docs/PERF.md). Changes the param tree (blocks_{i}/* → blocks/block/*
+    # stacked on axis 0); convert with `models.scan_utils.stack_block_params`.
+    scan_blocks: bool = False
 
     @property
     def patches_per_side(self) -> int:
@@ -197,17 +203,24 @@ class DividedSTBlock(nn.Module):
     # (`vit.py:289-298`)
     zero_temporal_fc: bool = False
 
-    def _drop_path(self, value, mask_shape, deterministic):
-        if deterministic or self.drop_path == 0.0:
+    def _drop_path(self, value, mask_shape, deterministic, rate=None):
+        rate = self.drop_path if rate is None else rate
+        if deterministic or (isinstance(rate, float) and rate == 0.0):
             return value
-        keep_prob = 1.0 - self.drop_path
+        keep_prob = 1.0 - rate  # rate may be a traced scalar under nn.scan
         keep = jax.random.bernoulli(
             self.make_rng("droppath"), keep_prob, mask_shape
         )
-        return value * keep.astype(value.dtype) / keep_prob
+        return value * keep.astype(value.dtype) / jnp.asarray(
+            keep_prob, value.dtype
+        )
 
     @nn.compact
-    def __call__(self, cls, x, deterministic: bool = True):
+    def __call__(self, cls, x, deterministic: bool = True, drop_path_rate=None):
+        """drop_path_rate: optional traced override of the static
+        `drop_path` attribute — used by the scanned-blocks path, where the
+        per-block stochastic-depth rate is a scan input."""
+        dp_rate = self.drop_path if drop_path_rate is None else drop_path_rate
         cfg = self.cfg
         B, T, N, D = x.shape
 
@@ -234,7 +247,7 @@ class DividedSTBlock(nn.Module):
                 name="temporal_attn",
             )(xt, deterministic)
             t_out = jnp.moveaxis(t_out.reshape(B, N, T, D), 1, 2)  # (B, T, N, D)
-        t_out = self._drop_path(t_out, (B, 1, N, 1), deterministic)
+        t_out = self._drop_path(t_out, (B, 1, N, 1), deterministic, dp_rate)
         t_out = nn.Dense(
             D, dtype=self.dtype,
             kernel_init=(
@@ -260,7 +273,7 @@ class DividedSTBlock(nn.Module):
             name="attn",
         )(xs_n.reshape(B * T, 1 + N, D), deterministic)
         s_out = s_out.reshape(B, T, 1 + N, D)
-        s_out = self._drop_path(s_out, (B, T, 1, 1), deterministic)
+        s_out = self._drop_path(s_out, (B, T, 1, 1), deterministic, dp_rate)
         cls_res = jnp.mean(s_out[:, :, 0, :], axis=1, keepdims=True)  # (B,1,D)
         x = x + s_out[:, :, 1:, :]
         cls = cls + cls_res
@@ -277,16 +290,40 @@ class DividedSTBlock(nn.Module):
         y_x = norm2(x)
         mlp_cls = mlp(y_cls, deterministic)
         mlp_x = mlp(y_x, deterministic)
-        if not deterministic and self.drop_path > 0.0:
-            keep_prob = 1.0 - self.drop_path
+        if not deterministic and not (
+            isinstance(dp_rate, float) and dp_rate == 0.0
+        ):
+            keep_prob = 1.0 - dp_rate
             keep = jax.random.bernoulli(
                 self.make_rng("droppath"), keep_prob, (B, 1, 1)
-            ).astype(x.dtype) / keep_prob
+            ).astype(x.dtype) / jnp.asarray(keep_prob, x.dtype)
             mlp_cls = mlp_cls * keep
             mlp_x = mlp_x * keep[:, :, None, :]
         cls = cls + mlp_cls
         x = x + mlp_x
         return cls, x
+
+
+class _ScanDividedBlock(nn.Module):
+    """Scan body wrapping one DividedSTBlock under the fixed name 'block'.
+
+    Under nn.scan the per-block stochastic-depth rate arrives as a traced
+    scan input; `zero_temporal_fc=True` uniformly (the reference zeroes it
+    for every block except the first — a from-scratch-init-only difference;
+    the CLI init path initializes the unrolled model and stacks, preserving
+    the reference init exactly, see `scan_utils.stack_block_params`)."""
+
+    cfg: TimeSformerConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, dpr, deterministic):
+        cls, x = carry
+        cls, x = DividedSTBlock(
+            self.cfg, drop_path=0.0, dtype=self.dtype,
+            zero_temporal_fc=True, name="block",
+        )(cls, x, deterministic, drop_path_rate=dpr)
+        return (cls, x), None
 
 
 class JointBlock(nn.Module):
@@ -451,17 +488,35 @@ class TimeSformer(nn.Module):
             for i in range(cfg.depth)
         ]
         if cfg.attention_type == "divided_space_time":
-            block_cls = DividedSTBlock
-            if cfg.gradient_checkpointing:
-                block_cls = nn.remat(
-                    DividedSTBlock, static_argnums=(3,),
-                    policy=jax.checkpoint_policies.nothing_saveable,
+            if cfg.scan_blocks:
+                body = _ScanDividedBlock
+                if cfg.gradient_checkpointing:
+                    body = nn.remat(
+                        body, static_argnums=(3,), prevent_cse=False,
+                        policy=jax.checkpoint_policies.nothing_saveable,
+                    )
+                scanned = nn.scan(
+                    body,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True, "droppath": True},
+                    in_axes=(0, nn.broadcast),
+                    length=cfg.depth,
+                )(cfg, dtype=self.dtype, name="blocks")
+                (cls, x), _ = scanned(
+                    (cls, x), jnp.asarray(dpr, jnp.float32), deterministic
                 )
-            for i in range(cfg.depth):
-                cls, x = block_cls(
-                    cfg, drop_path=dpr[i], dtype=self.dtype,
-                    zero_temporal_fc=(i > 0), name=f"blocks_{i}",
-                )(cls, x, deterministic)
+            else:
+                block_cls = DividedSTBlock
+                if cfg.gradient_checkpointing:
+                    block_cls = nn.remat(
+                        DividedSTBlock, static_argnums=(3,),
+                        policy=jax.checkpoint_policies.nothing_saveable,
+                    )
+                for i in range(cfg.depth):
+                    cls, x = block_cls(
+                        cfg, drop_path=dpr[i], dtype=self.dtype,
+                        zero_temporal_fc=(i > 0), name=f"blocks_{i}",
+                    )(cls, x, deterministic)
         elif cfg.attention_type == "joint_space_time":
             y = jnp.concatenate([cls, x.reshape(B, T * N, D)], axis=1)
             for i in range(cfg.depth):

@@ -110,7 +110,7 @@ def main():
 
     cfg = TimeSformerConfig(
         img_size=S, patch_size=16, num_frames=T, embed_dim=768, depth=12,
-        num_heads=12, drop_path_rate=0.0,
+        num_heads=12, drop_path_rate=0.0, scan_blocks=True,
     )
     model = TimeSformer(cfg, dtype=jnp.bfloat16)
     params = model.init(
@@ -184,7 +184,9 @@ def main():
         try:
             from benchmarks.train_step import measure_train_step
 
-            out["train_clips_per_sec"] = round(measure_train_step(batch=8, iters=8), 2)
+            tr = measure_train_step(batch=8, iters=8)
+            out["train_clips_per_sec"] = round(tr["clips_per_sec"], 2)
+            out["train_ms_per_step_b8"] = round(tr["ms_per_step"], 1)
         except Exception as e:
             out["train_error"] = repr(e)[:200]
     if _time_left() > 400:

@@ -33,9 +33,9 @@ def measure_latency(gallery=1000, topk=16, n_queries=50, num_frm=8,
 
     vis = TimeSformerConfig(
         img_size=img_size, patch_size=16, num_frames=num_frm,
-        drop_path_rate=0.0,
+        drop_path_rate=0.0, scan_blocks=True,
     )
-    bert = BertConfig()
+    bert = BertConfig(scan_blocks=True)
     model = build_retrieval_model(bert, vis, dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
     L = max_txt_len

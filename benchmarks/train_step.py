@@ -28,9 +28,9 @@ def measure_train_step(batch=8, iters=8, num_frm=8, img_size=224, depth=12) -> d
 
     vis = TimeSformerConfig(
         img_size=img_size, patch_size=16, num_frames=num_frm,
-        depth=depth, drop_path_rate=0.1,
+        depth=depth, drop_path_rate=0.1, scan_blocks=True,
     )
-    bert = BertConfig()
+    bert = BertConfig(scan_blocks=True)
     model = build_retrieval_model(bert, vis, dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
     B, L = batch, 40
