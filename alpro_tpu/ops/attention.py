@@ -87,19 +87,31 @@ def _xla_attention(
     q, k, v, *, key_mask, scale, dropout_rate, dropout_rng, deterministic
 ):
     dtype = q.dtype
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    )
-    scores = scores * scale
-    if key_mask is not None:
-        # additive mask in fp32: -10000 on padded keys, matching the HF-BERT
-        # extended-mask constant so converted checkpoints reproduce numerics
-        bias = (1.0 - key_mask.astype(jnp.float32)) * -10000.0
-        scores = scores + bias[:, None, None, :]
     if dtype == jnp.bfloat16:
-        # store the (q, k) score buffer in bf16 (matmul-epilogue convert);
-        # softmax math below still runs fp32 in-register
-        scores = scores.astype(jnp.bfloat16)
+        # bf16 path: fold the scale into q (one cheap pass over the (B,S,H,D)
+        # tensor instead of over the tile-padded (S_q, S_k) score buffer) and
+        # have the dot emit bf16 directly — the MXU still accumulates fp32
+        # in-register, so this matches the previous dot→fp32→astype(bf16)
+        # rounding while avoiding the fp32 score materialization + repack
+        # copies XLA otherwise inserts (profiled: docs/PERF.md round 2).
+        q = (q * jnp.asarray(scale, jnp.float32)).astype(dtype)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.bfloat16
+        )
+        if key_mask is not None:
+            bias = (1.0 - key_mask.astype(jnp.float32)) * -10000.0
+            scores = scores + bias[:, None, None, :].astype(jnp.bfloat16)
+    else:
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        scores = scores * scale
+        if key_mask is not None:
+            # additive mask in fp32: -10000 on padded keys, matching the
+            # HF-BERT extended-mask constant so converted checkpoints
+            # reproduce numerics
+            bias = (1.0 - key_mask.astype(jnp.float32)) * -10000.0
+            scores = scores + bias[:, None, None, :]
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     if dropout_rate > 0.0 and not deterministic:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
@@ -145,16 +157,25 @@ def multi_head_attention_bshd(
         return out.reshape(B, Sq, H, hd)
 
     dtype = q.dtype
-    scores = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-    )
-    scores = scores * scale
-    if key_mask is not None:
-        bias = (1.0 - key_mask.astype(jnp.float32)) * -10000.0
-        scores = scores + bias[:, None, None, :]
     if dtype == jnp.bfloat16:
-        # bf16 score buffer, fp32 softmax math (module docstring)
-        scores = scores.astype(jnp.bfloat16)
+        # bf16 score buffer straight out of the dot + scale folded into q —
+        # see _xla_attention for the rationale (fp32 MXU accumulation, no
+        # fp32 score materialization or repack copies)
+        q = (q * jnp.asarray(scale, jnp.float32)).astype(dtype)
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.bfloat16
+        )
+        if key_mask is not None:
+            bias = (1.0 - key_mask.astype(jnp.float32)) * -10000.0
+            scores = scores + bias[:, None, None, :].astype(jnp.bfloat16)
+    else:
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        scores = scores * scale
+        if key_mask is not None:
+            bias = (1.0 - key_mask.astype(jnp.float32)) * -10000.0
+            scores = scores + bias[:, None, None, :]
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     if use_dropout:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)

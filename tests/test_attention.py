@@ -137,3 +137,39 @@ def test_mha_bshd_pallas_branch_matches_xla_branch():
     a = multi_head_attention_bshd(q, k, v, impl="xla")
     b = multi_head_attention_bshd(q, k, v, impl="pallas")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_bf16_branch_matches_fp32_within_bf16_tol():
+    """The bf16 fast path (scale folded into q, bf16 dot output) must agree
+    with the fp32 reference to bf16 rounding, masked and unmasked, for both
+    (B,H,S,D) and (B,S,H,D) entry points."""
+    from alpro_tpu.ops.attention import multi_head_attention_bshd
+
+    q, k, v = _mk(B=2, H=3, Sq=17, Sk=23, D=8, seed=4)
+    mask = np.ones((2, 23), np.int32)
+    mask[0, 9:] = 0
+    for km in (None, jnp.asarray(mask)):
+        want = multi_head_attention(q, k, v, key_mask=km, impl="xla")
+        got = multi_head_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), key_mask=km, impl="xla",
+        )
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want), atol=0.08
+        )
+        qb = jnp.moveaxis(q, 1, 2)
+        want_b = multi_head_attention_bshd(
+            qb, jnp.moveaxis(k, 1, 2), jnp.moveaxis(v, 1, 2),
+            key_mask=km, impl="xla",
+        )
+        got_b = multi_head_attention_bshd(
+            qb.astype(jnp.bfloat16),
+            jnp.moveaxis(k, 1, 2).astype(jnp.bfloat16),
+            jnp.moveaxis(v, 1, 2).astype(jnp.bfloat16),
+            key_mask=km, impl="xla",
+        )
+        assert got_b.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got_b, np.float32), np.asarray(want_b), atol=0.08
+        )
