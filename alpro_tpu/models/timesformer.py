@@ -56,13 +56,18 @@ class TimeSformerConfig:
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.1
     ln_eps: float = 1e-6
+    # spatial attention lowering: 'auto' (TPU → 'fused_qkv', else 'xla') |
+    # 'xla' (bshd einsum) | 'fused_qkv' (packed-qkv Pallas kernel,
+    # ops/pallas_qkv_attn.py — consumes the qkv projection output directly,
+    # no head-split copies or sequence pads; in-model embed 103.3 → 90.8
+    # ms/batch on v5e) | 'pallas' (per-head kernel, pallas_attn.py, slower)
     attn_impl: str = "auto"
-    # temporal attention lowering: 'auto'/'xla' (relayout to (B·N, T, D) +
-    # einsum attention — measured 3.65 ms/call at flagship shapes on v5e) |
-    # 'circulant' (δ-roll softmax identity in the native (B, T, N, D) layout;
-    # no relayouts or (T, T) matrices but T× rolled elementwise passes over
-    # the 77 MB tensors make it HBM-bound: 8.9 ms measured — kept as an
-    # opt-in record, see docs/PERF.md)
+    # temporal attention lowering: 'auto' (TPU → 'fused_qkv', else 'xla') |
+    # 'xla' (relayout to (B·N, T, D) + einsum) | 'fused_qkv' (packed-qkv
+    # δ-roll Pallas kernel in the native (B, T, N, 3D) layout — no relayouts
+    # and no tile-padded (T, T) score buffers; in-model embed 103.3 → 89.0
+    # ms/batch on v5e) | 'circulant'/'packed' (XLA variants, measured slower,
+    # kept as records — docs/PERF.md)
     temporal_attn_impl: str = "auto"
     # 'divided_space_time' (ALPRO default) | 'joint_space_time' | 'space_only'
     # (`vit.py:110-111,140-143`)
@@ -137,26 +142,48 @@ class VitAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        from alpro_tpu.ops.attention import multi_head_attention_bshd
+        from alpro_tpu.ops.attention import _on_tpu, multi_head_attention_bshd
 
         B, S, D = x.shape
         head_dim = D // self.num_heads
         init = nn.initializers.truncated_normal(0.02)
         qkv = nn.Dense(3 * D, dtype=self.dtype, kernel_init=init, name="qkv")(x)
-        qkv = qkv.reshape(B, S, 3, self.num_heads, head_dim)
-        drng = (
-            self.make_rng("dropout")
-            if (self.attn_drop_rate > 0.0 and not deterministic)
-            else None
-        )
-        out = multi_head_attention_bshd(
-            qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
-            impl=self.attn_impl,
-            dropout_rate=self.attn_drop_rate,
-            dropout_rng=drng,
-            deterministic=deterministic,
-        )
-        out = out.reshape(B, S, D)
+        use_dropout = self.attn_drop_rate > 0.0 and not deterministic
+        impl = self.attn_impl
+        if impl == "auto":
+            # measured in-model on v5e (docs/PERF.md round 2): the packed-qkv
+            # kernel takes the full embed 103.3 → 90.8 ms/batch; S bound keeps
+            # the in-VMEM (S, S) fp32 score tile comfortably on-chip.
+            # Deterministic-only: under training the custom_vjp's stacked qkv
+            # residuals exceeded HBM at flagship batch (measured OOM by 0.5 G)
+            # — training keeps XLA unless 'fused_qkv' is set explicitly.
+            impl = (
+                "fused_qkv"
+                if (_on_tpu() and S <= 640 and deterministic)
+                else "xla"
+            )
+        if impl == "fused_qkv" and (
+            use_dropout or (_on_tpu() and (D % 128 != 0 or 128 % head_dim != 0))
+        ):
+            impl = "xla"  # kernel supports neither attn-dropout nor odd dims
+        if impl == "fused_qkv":
+            # packed-qkv kernel: consumes the projection output directly —
+            # no head-split slicing copies, no sequence pads, scores never
+            # leave VMEM (ops/pallas_qkv_attn.py)
+            from alpro_tpu.ops.pallas_qkv_attn import fused_attention_qkv
+
+            out = fused_attention_qkv(qkv, self.num_heads)
+        else:
+            qkv = qkv.reshape(B, S, 3, self.num_heads, head_dim)
+            drng = self.make_rng("dropout") if use_dropout else None
+            out = multi_head_attention_bshd(
+                qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
+                impl=impl,
+                dropout_rate=self.attn_drop_rate,
+                dropout_rng=drng,
+                deterministic=deterministic,
+            )
+            out = out.reshape(B, S, D)
         out = nn.Dense(D, dtype=self.dtype, kernel_init=init, name="proj")(out)
         out = nn.Dropout(self.proj_drop_rate)(out, deterministic=deterministic)
         return out
@@ -166,9 +193,10 @@ class TemporalNativeLayoutAttention(nn.Module):
     """Temporal attention over T in the native (B, T, N, D) layout —
     parameter-compatible with `VitAttention` (same qkv/proj Dense names and
     shapes, so checkpoints are interchangeable with the relayout+einsum
-    path). `impl`: 'packed' (MXU-packed block-diagonal tiles — the fast path
-    on TPU) or 'circulant' (δ-roll identity; measured slower, kept as a
-    record)."""
+    path). `impl`: 'fused_qkv' (packed-qkv δ-roll Pallas kernel — the fast
+    path on TPU, ops/pallas_qkv_attn.py), 'packed' (MXU-packed
+    block-diagonal tiles) or 'circulant' (δ-roll identity in XLA; both
+    measured slower, kept as records)."""
 
     num_heads: int
     impl: str = "packed"
@@ -185,7 +213,13 @@ class TemporalNativeLayoutAttention(nn.Module):
         D = x.shape[-1]
         init = nn.initializers.truncated_normal(0.02)
         qkv = nn.Dense(3 * D, dtype=self.dtype, kernel_init=init, name="qkv")(x)
-        if self.impl == "packed":
+        if self.impl == "fused_qkv":
+            from alpro_tpu.ops.pallas_qkv_attn import (
+                fused_temporal_attention_qkv,
+            )
+
+            out = fused_temporal_attention_qkv(qkv, self.num_heads)
+        elif self.impl == "packed":
             out = temporal_attention_packed(qkv, self.num_heads)
         else:
             out = temporal_attention_circulant(qkv, self.num_heads)
@@ -227,11 +261,24 @@ class DividedSTBlock(nn.Module):
         # ---- temporal attention over T at each patch location ----
         t_impl = cfg.temporal_attn_impl
         if t_impl == "auto":
-            # measured on v5e: the relayout+einsum path wins (3.65 vs 8.9 ms
-            # per call at flagship shapes — docs/PERF.md round 2)
-            t_impl = "xla"
+            # measured in-model on v5e (docs/PERF.md round 2): the packed-qkv
+            # δ-roll kernel takes the full embed 103.3 → 89.0 ms/batch; it has
+            # no attention-dropout path, so fall back when one is active
+            from alpro_tpu.ops.attention import _on_tpu
+
+            t_impl = (
+                "fused_qkv"
+                if (
+                    _on_tpu()
+                    and T <= 32
+                    and D % 128 == 0
+                    and 128 % (D // cfg.num_heads) == 0
+                    and deterministic  # see spatial auto: training OOMs
+                )
+                else "xla"
+            )
         xt = LayerNorm(cfg.ln_eps, dtype=self.dtype, name="temporal_norm1")(x)
-        if t_impl in ("circulant", "packed"):
+        if t_impl in ("circulant", "packed", "fused_qkv"):
             t_out = TemporalNativeLayoutAttention(
                 cfg.num_heads, impl=t_impl, dtype=self.dtype,
                 proj_drop_rate=cfg.drop_rate, name="temporal_attn",

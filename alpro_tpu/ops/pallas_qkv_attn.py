@@ -1,0 +1,264 @@
+"""Packed-qkv fused attention kernels — consume the qkv projection's output
+tensor directly, in its natural layout.
+
+Motivation (profiled on v5e, docs/PERF.md round 2): XLA's lowering of the
+divided space-time attentions spends more on layout than on math. Per step at
+flagship shapes (B=16, T=8, N=196, D=768, H=12), the (M, S, 3D) qkv tensors
+are repacked twice before the score dot (12.7 ms temporal + 10.3 ms spatial
+of pure HBM copies), and the tile-padded (T, T) temporal score buffers cost
+several more ms of repacks around the softmax. The earlier per-head kernels
+(`pallas_attn.py`) could not fix this: they take q/k/v as three separate
+arrays, so XLA materializes three strided-slice copies and pads S to 128
+multiples before the kernel ever runs.
+
+These kernels instead receive the *packed* qkv array three times, with three
+BlockSpec index maps selecting the q, k and v lane windows of the same
+buffer — no slicing copies, no padding (Mosaic on this toolchain accepts
+ragged second-to-last block dims, probe-verified), no head-split transposes.
+Each grid cell owns a 128-lane channel window (= 2 heads at hd=64) and
+separates the heads with in-kernel lane slices; scores, softmax and the PV
+product live entirely in VMEM.
+
+The temporal kernel uses the circulant δ-roll identity of
+`pallas_temporal_attn.py` (whose 12-head-unrolled body crashes this
+toolchain's Mosaic; 2 heads per program compiles) in the model-native
+(B, T, N, 3D) layout: for fixed t, {(t+δ) mod T} covers every key exactly
+once, so softmax over keys ≡ softmax over δ and no (T, T) matrix — the
+worst-tiled tensor in the whole model (lanes 8/128 used) — is ever built.
+
+Both are differentiable via custom_vjp with flash-style XLA recompute
+backward (no attention matrix stored between fwd and bwd).
+
+Replaces the cuDNN attention of the reference's divided ST blocks
+(`/root/reference/src/modeling/timesformer/vit.py:81-100,136-213`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu only resolves on TPU builds; keep importable on CPU for tests
+    from jax.experimental.pallas import tpu as pltpu
+
+    _VMEM = pltpu.VMEM
+except Exception:  # pragma: no cover
+    pltpu = None
+    _VMEM = None
+
+_LANE = 128
+
+
+def _spatial_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hd: int,
+                    heads_per_block: int):
+    for i in range(heads_per_block):
+        sl = slice(i * hd, (i + 1) * hd)
+        q = q_ref[0, :, sl].astype(jnp.float32) * scale
+        k = k_ref[0, :, sl].astype(jnp.float32)
+        v = v_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
+
+
+def _spatial_fwd_impl(qkv, num_heads, scale):
+    B, S, threeD = qkv.shape
+    D = threeD // 3
+    hd = D // num_heads
+    interpret = jax.default_backend() != "tpu"
+    lane = _LANE if not interpret else hd
+    hpb = lane // hd
+    nq = D // lane  # lane-blocks per q/k/v section
+
+    out = pl.pallas_call(
+        functools.partial(
+            _spatial_kernel, scale=float(scale), hd=hd, heads_per_block=hpb
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, S, D), qkv.dtype),
+        grid=(B, nq),
+        in_specs=[
+            pl.BlockSpec((1, S, lane), lambda b, h: (b, 0, h), memory_space=_VMEM),
+            pl.BlockSpec((1, S, lane), lambda b, h, nq=nq: (b, 0, nq + h),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, S, lane), lambda b, h, nq=nq: (b, 0, 2 * nq + h),
+                         memory_space=_VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, S, lane), lambda b, h: (b, 0, h), memory_space=_VMEM
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    return out
+
+
+def _spatial_xla_reference(qkv, num_heads, scale):
+    B, S, threeD = qkv.shape
+    D = threeD // 3
+    hd = D // num_heads
+    q = qkv[..., :D].reshape(B, S, num_heads, hd).astype(jnp.float32)
+    k = qkv[..., D:2 * D].reshape(B, S, num_heads, hd).astype(jnp.float32)
+    v = qkv[..., 2 * D:].reshape(B, S, num_heads, hd).astype(jnp.float32)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+    return o.reshape(B, S, D).astype(qkv.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _spatial_attention_qkv(qkv, num_heads, scale):
+    return _spatial_fwd_impl(qkv, num_heads, scale)
+
+
+def _spatial_fwd(qkv, num_heads, scale):
+    return _spatial_fwd_impl(qkv, num_heads, scale), (qkv,)
+
+
+def _spatial_bwd(num_heads, scale, res, g):
+    (qkv,) = res
+    _, vjp = jax.vjp(
+        lambda x: _spatial_xla_reference(x, num_heads, scale), qkv
+    )
+    (dqkv,) = vjp(g.astype(qkv.dtype))
+    return (dqkv,)
+
+
+_spatial_attention_qkv.defvjp(_spatial_fwd, _spatial_bwd)
+
+
+def fused_attention_qkv(
+    qkv: jnp.ndarray, num_heads: int, *, scale: Optional[float] = None
+) -> jnp.ndarray:
+    """Mask-free attention over packed qkv (B, S, 3·H·hd) → (B, S, H·hd).
+
+    Channel layout is the fused projection's: [q | k | v], each (H, hd)
+    head-major. Requires H·hd % 128 == 0 and 128 % hd == 0 on TPU.
+    """
+    D = qkv.shape[-1] // 3
+    hd = D // num_heads
+    if scale is None:
+        scale = hd ** -0.5
+    return _spatial_attention_qkv(qkv, num_heads, float(scale))
+
+
+# ---------------------------------------------------------------------------
+# temporal: attention over T at each patch location, native (B, T, N, 3D)
+# ---------------------------------------------------------------------------
+def _roll_up(x, delta):
+    """x[(t+delta) % T] along axis 0 via slice+concat (this toolchain's
+    Mosaic rejects pltpu.roll on these shapes)."""
+    if delta == 0:
+        return x
+    return jnp.concatenate([x[delta:], x[:delta]], axis=0)
+
+
+def _temporal_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hd: int,
+                     heads_per_block: int, T: int):
+    for i in range(heads_per_block):
+        sl = slice(i * hd, (i + 1) * hd)
+        q = q_ref[0, :, :, sl].astype(jnp.float32) * scale  # (T, N, hd)
+        k = k_ref[0, :, :, sl].astype(jnp.float32)
+        v = v_ref[0, :, :, sl].astype(jnp.float32)
+        # band_δ[t, n] = Σ_d q[t]·k[(t+δ)%T]; softmax over keys ≡ over δ
+        bands = [
+            jnp.sum(q * _roll_up(k, d), axis=-1, keepdims=True)
+            for d in range(T)
+        ]  # each (T, N, 1)
+        m = bands[0]
+        for b in bands[1:]:
+            m = jnp.maximum(m, b)
+        exps = [jnp.exp(b - m) for b in bands]
+        den = exps[0]
+        for e in exps[1:]:
+            den = den + e
+        o = exps[0] * v
+        for d in range(1, T):
+            o = o + exps[d] * _roll_up(v, d)
+        o_ref[0, :, :, sl] = (o / den).astype(o_ref.dtype)
+
+
+def _temporal_fwd_impl(qkv, num_heads, scale):
+    B, T, N, threeD = qkv.shape
+    D = threeD // 3
+    hd = D // num_heads
+    interpret = jax.default_backend() != "tpu"
+    lane = _LANE if not interpret else hd
+    hpb = lane // hd
+    nq = D // lane
+
+    out = pl.pallas_call(
+        functools.partial(
+            _temporal_kernel, scale=float(scale), hd=hd,
+            heads_per_block=hpb, T=T,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, T, N, D), qkv.dtype),
+        grid=(B, nq),
+        in_specs=[
+            pl.BlockSpec((1, T, N, lane), lambda b, h: (b, 0, 0, h),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, T, N, lane), lambda b, h, nq=nq: (b, 0, 0, nq + h),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, T, N, lane), lambda b, h, nq=nq: (b, 0, 0, 2 * nq + h),
+                         memory_space=_VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, T, N, lane), lambda b, h: (b, 0, 0, h), memory_space=_VMEM
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    return out
+
+
+def _temporal_xla_reference(qkv, num_heads, scale):
+    B, T, N, threeD = qkv.shape
+    D = threeD // 3
+    hd = D // num_heads
+    q = qkv[..., :D].reshape(B, T, N, num_heads, hd).astype(jnp.float32)
+    k = qkv[..., D:2 * D].reshape(B, T, N, num_heads, hd).astype(jnp.float32)
+    v = qkv[..., 2 * D:].reshape(B, T, N, num_heads, hd).astype(jnp.float32)
+    s = jnp.einsum("btnhd,bsnhd->bnhts", q, k) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bnhts,bsnhd->btnhd", p, v)
+    return o.reshape(B, T, N, D).astype(qkv.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _temporal_attention_qkv(qkv, num_heads, scale):
+    return _temporal_fwd_impl(qkv, num_heads, scale)
+
+
+def _temporal_fwd(qkv, num_heads, scale):
+    return _temporal_fwd_impl(qkv, num_heads, scale), (qkv,)
+
+
+def _temporal_bwd(num_heads, scale, res, g):
+    (qkv,) = res
+    _, vjp = jax.vjp(
+        lambda x: _temporal_xla_reference(x, num_heads, scale), qkv
+    )
+    (dqkv,) = vjp(g.astype(qkv.dtype))
+    return (dqkv,)
+
+
+_temporal_attention_qkv.defvjp(_temporal_fwd, _temporal_bwd)
+
+
+def fused_temporal_attention_qkv(
+    qkv: jnp.ndarray, num_heads: int, *, scale: Optional[float] = None
+) -> jnp.ndarray:
+    """Temporal attention over packed qkv (B, T, N, 3·H·hd) → (B, T, N, H·hd),
+    attending over T independently at each (b, n) location
+    (`vit.py:144-162` semantics, model-native layout)."""
+    D = qkv.shape[-1] // 3
+    hd = D // num_heads
+    if scale is None:
+        scale = hd ** -0.5
+    return _temporal_attention_qkv(qkv, num_heads, float(scale))

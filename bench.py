@@ -116,6 +116,12 @@ def main():
     params = model.init(
         {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, T, S, S, 3), jnp.bfloat16)
     )
+    # serving keeps bf16 weights: halves per-step HBM weight reads (training
+    # state stays fp32; this is the standard deploy-time cast)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params,
+    )
 
     @jax.jit
     def embed_checksum(params, raw_uint8):
