@@ -95,34 +95,36 @@ def _vtm_forward(
         num_local_blocks=num_local_blocks,
     )
 
-    rngs = _train_rngs(jax.random.fold_in(rng, 3)) if train else None
-    fusion_pos = model.apply(
-        variables, text_embeds, text_mask, video_embeds, None, not train,
-        method=model.fuse, rngs=rngs,
-    )
-
-    # negatives: (text_i, video[neg_video_idx_i]) and (text[neg_text_idx_i], video_i)
+    # one 3B-batch fusion call covering positives and both negative kinds —
+    # rows [0,B): (text_i, video_i); [B,2B): (text_i, video[neg_video_idx_i]);
+    # [2B,3B): (text[neg_text_idx_i], video_i). The reference runs pos and neg
+    # as two separate fusion forwards (`alpro_models.py:269-344`); batching
+    # them keeps the MXU on one large matmul shape and drops a whole set of
+    # per-layer dispatches. Deterministic numerics are identical (attention
+    # and MLP are per-sample along batch).
+    B = text_embeds.shape[0]
     text_all = jnp.concatenate(
-        [text_embeds, jnp.take(text_embeds, neg_text_idx, axis=0)], axis=0
+        [text_embeds, text_embeds, jnp.take(text_embeds, neg_text_idx, axis=0)],
+        axis=0,
     )
     mask_all = jnp.concatenate(
-        [text_mask, jnp.take(text_mask, neg_text_idx, axis=0)], axis=0
+        [text_mask, text_mask, jnp.take(text_mask, neg_text_idx, axis=0)],
+        axis=0,
     )
     video_all = jnp.concatenate(
-        [jnp.take(video_embeds, neg_video_idx, axis=0), video_embeds], axis=0
+        [video_embeds, jnp.take(video_embeds, neg_video_idx, axis=0), video_embeds],
+        axis=0,
     )
-    rngs = _train_rngs(jax.random.fold_in(rng, 4)) if train else None
-    fusion_neg = model.apply(
+    rngs = _train_rngs(jax.random.fold_in(rng, 3)) if train else None
+    fusion_all = model.apply(
         variables, text_all, mask_all, video_all, None, not train,
         method=model.fuse, rngs=rngs,
     )
-    pos_logits = model.apply(
-        variables, fusion_pos[:, 0, :], method=model.itm_logits
+    fusion_pos = fusion_all[:B]
+    logits = model.apply(
+        variables, fusion_all[:, 0, :], method=model.itm_logits
     )
-    neg_logits = model.apply(
-        variables, fusion_neg[:, 0, :], method=model.itm_logits
-    )
-    loss, _, _ = vtm_loss_from_logits(pos_logits, neg_logits)
+    loss, _, _ = vtm_loss_from_logits(logits[:B], logits[B:])
     return loss, fusion_pos
 
 

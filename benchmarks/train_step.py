@@ -18,7 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def measure_train_step(batch=8, iters=8, num_frm=8, img_size=224, depth=12) -> dict:
+def measure_train_step(batch=8, iters=8, num_frm=8, img_size=224, depth=12,
+                       grad_ckpt=True) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -26,11 +27,17 @@ def measure_train_step(batch=8, iters=8, num_frm=8, img_size=224, depth=12) -> d
     from alpro_tpu.train import TrainState, build_optimizer, get_lr_schedule
     from alpro_tpu.train.step import make_retrieval_train_step
 
+    # scan_blocks keeps the HLO under the compile-relay size cap, but scan
+    # stacks every block's residuals (no cross-block remat) — the flagship
+    # backward then exceeds HBM (measured 18.7G vs 15.75G). Per-block
+    # gradient checkpointing (the reference's own recipe for its larger
+    # configs, `src/utils/grad_ckpt.py`) trades ~1 extra forward for fitting.
     vis = TimeSformerConfig(
         img_size=img_size, patch_size=16, num_frames=num_frm,
         depth=depth, drop_path_rate=0.1, scan_blocks=True,
+        gradient_checkpointing=grad_ckpt,
     )
-    bert = BertConfig(scan_blocks=True)
+    bert = BertConfig(scan_blocks=True, gradient_checkpointing=grad_ckpt)
     model = build_retrieval_model(bert, vis, dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
     B, L = batch, 40
@@ -78,10 +85,11 @@ def main():
     ap.add_argument("--num_frm", type=int, default=8)
     ap.add_argument("--img_size", type=int, default=224)
     ap.add_argument("--depth", type=int, default=12)
+    ap.add_argument("--grad_ckpt", type=int, default=1)
     args = ap.parse_args()
     r = measure_train_step(
         batch=args.batch, iters=args.iters, num_frm=args.num_frm,
-        img_size=args.img_size, depth=args.depth,
+        img_size=args.img_size, depth=args.depth, grad_ckpt=bool(args.grad_ckpt),
     )
     print(json.dumps({
         "metric": f"train clips/s (retrieval step, B={args.batch}, VTC+VTM, bf16)",
