@@ -69,6 +69,10 @@ class TimeSformerConfig:
     # ms/batch on v5e) | 'circulant'/'packed' (XLA variants, measured slower,
     # kept as records — docs/PERF.md)
     temporal_attn_impl: str = "auto"
+    # block-tail lowering: 'auto' (TPU + deterministic → 'fused', else
+    # 'xla') | 'xla' | 'fused' (LN→fc1→GELU→fc2→residual in one Pallas
+    # kernel, one HBM round-trip — ops/pallas_ln_mlp.py)
+    mlp_impl: str = "auto"
     # 'divided_space_time' (ALPRO default) | 'joint_space_time' | 'space_only'
     # (`vit.py:110-111,140-143`)
     attention_type: str = "divided_space_time"
@@ -326,9 +330,47 @@ class DividedSTBlock(nn.Module):
         cls = cls + cls_res
 
         # ---- MLP (pointwise; shared per-sample droppath mask) ----
+        hidden = int(D * cfg.mlp_ratio)
+        mlp_impl = cfg.mlp_impl
+        if mlp_impl == "auto":
+            # fused LN→MLP→residual kernel: one HBM round-trip for the whole
+            # block tail (docs/PERF.md round 2 — the LN convert+reduce and
+            # the materialized GELU hidden are slow-path traffic XLA keeps).
+            # Deterministic-only: dropout/droppath live on the XLA path.
+            from alpro_tpu.ops.attention import _on_tpu
+
+            mlp_impl = (
+                "fused"
+                if (
+                    _on_tpu() and deterministic
+                    and D % 128 == 0 and hidden % 128 == 0
+                )
+                else "xla"
+            )
+        if mlp_impl == "fused":
+            from alpro_tpu.ops.layers import LNParams, MlpParams
+            from alpro_tpu.ops.pallas_ln_mlp import fused_ln_mlp
+
+            # parameter twins: identical tree to the LayerNorm("norm2") /
+            # Mlp("mlp") modules of the XLA branch, so checkpoints and init
+            # are interchangeable between impls
+            scale, bias = LNParams(name="norm2")(D)
+            (k1, b1), (k2, b2) = MlpParams(hidden, name="mlp")(D)
+            rows = jnp.concatenate(
+                [cls.reshape(B, D), x.reshape(B * T * N, D)], axis=0
+            )
+            out = fused_ln_mlp(
+                rows, scale, bias,
+                k1.astype(self.dtype), b1.astype(self.dtype),
+                k2.astype(self.dtype), b2.astype(self.dtype),
+                eps=cfg.ln_eps,
+            )
+            cls = out[:B].reshape(B, 1, D)
+            x = out[B:].reshape(B, T, N, D)
+            return cls, x
         norm2 = LayerNorm(cfg.ln_eps, dtype=self.dtype, name="norm2")
         mlp = Mlp(
-            int(D * cfg.mlp_ratio),
+            hidden,
             dropout_rate=cfg.drop_rate,
             dtype=self.dtype,
             name="mlp",

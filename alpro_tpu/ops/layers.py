@@ -86,6 +86,52 @@ class Mlp(nn.Module):
         return x
 
 
+class LNParams(nn.Module):
+    """Parameter twin of `LayerNorm`: declares the identical {scale, bias}
+    tree (same names, shapes, init, fp32 param dtype) without computing —
+    for fused kernels that consume the raw parameters. Instantiating this
+    under the same module name as a `LayerNorm` yields checkpoint-identical
+    parameters."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        return scale, bias
+
+
+class DenseParams(nn.Module):
+    """Parameter twin of the `nn.Dense(kernel_init=truncated_normal(0.02))`
+    used throughout the encoders: declares {kernel, bias} without applying."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param(
+            "kernel", nn.initializers.truncated_normal(0.02),
+            (in_dim, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
+class MlpParams(nn.Module):
+    """Parameter twin of `Mlp`: fc1/fc2 {kernel, bias} with identical tree."""
+
+    hidden_dim: int
+    out_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        out_dim = self.out_dim or in_dim
+        p1 = DenseParams(self.hidden_dim, name="fc1")(in_dim)
+        p2 = DenseParams(out_dim, name="fc2")(self.hidden_dim)
+        return p1, p2
+
+
 def drop_path_mask(
     rng: jax.Array, rate: float, batch_size: int, ndim: int
 ) -> jnp.ndarray:
