@@ -67,7 +67,9 @@ class TimeSformerConfig:
     # δ-roll Pallas kernel in the native (B, T, N, 3D) layout — no relayouts
     # and no tile-padded (T, T) score buffers; in-model embed 103.3 → 89.0
     # ms/batch on v5e) | 'circulant'/'packed' (XLA variants, measured slower,
-    # kept as records — docs/PERF.md)
+    # kept as records — docs/PERF.md) | 'fused_ln_qkv' (block-level: LN rides
+    # the qkv matmul + folded proj·temporal_fc; measured slower in-model than
+    # 'fused_qkv' — kept as a record)
     temporal_attn_impl: str = "auto"
     # block-tail lowering: 'auto' (TPU + deterministic → 'fused', else
     # 'xla') | 'xla' | 'fused' (LN→fc1→GELU→fc2→residual in one Pallas
@@ -281,13 +283,51 @@ class DividedSTBlock(nn.Module):
                 )
                 else "xla"
             )
-        xt = LayerNorm(cfg.ln_eps, dtype=self.dtype, name="temporal_norm1")(x)
-        if t_impl in ("circulant", "packed", "fused_qkv"):
+        if t_impl == "fused_ln_qkv" and deterministic:
+            # fully fused serving path: temporal_norm1 rides the qkv matmul
+            # (fused_ln_matmul), attention stays in VMEM (packed-qkv δ-roll
+            # kernel), and proj→temporal_fc — two back-to-back (D, D)
+            # matmuls with no nonlinearity between — fold into one:
+            # (a·Wp + bp)·Wt + bt = a·(Wp Wt) + (bp Wt + bt).
+            from alpro_tpu.ops.layers import AttnParams, DenseParams, LNParams
+            from alpro_tpu.ops.pallas_ln_mlp import fused_ln_matmul
+            from alpro_tpu.ops.pallas_qkv_attn import (
+                fused_temporal_attention_qkv,
+            )
+
+            ln_s, ln_b = LNParams(name="temporal_norm1")(D)
+            (qkv_k, qkv_b), (proj_k, proj_b) = AttnParams(name="temporal_attn")(D)
+            tfc_k, tfc_b = DenseParams(
+                D, zero_kernel=self.zero_temporal_fc, name="temporal_fc"
+            )(D)
+            qkv = fused_ln_matmul(
+                x, ln_s, ln_b,
+                qkv_k.astype(self.dtype), qkv_b.astype(self.dtype),
+                eps=cfg.ln_eps,
+            )
+            t_att = fused_temporal_attention_qkv(qkv, cfg.num_heads)
+            wp = proj_k.astype(self.dtype)
+            wt = tfc_k.astype(self.dtype)
+            w_eff = jnp.dot(wp, wt)
+            b_eff = jnp.dot(proj_b.astype(self.dtype), wt) + tfc_b.astype(
+                self.dtype
+            )
+            x = x + (jnp.dot(t_att, w_eff) + b_eff).astype(x.dtype)
+            t_fused_done = True
+        else:
+            t_fused_done = False
+        if t_fused_done:
+            pass
+        elif t_impl in ("circulant", "packed", "fused_qkv", "fused_ln_qkv"):
+            xt = LayerNorm(cfg.ln_eps, dtype=self.dtype, name="temporal_norm1")(x)
             t_out = TemporalNativeLayoutAttention(
-                cfg.num_heads, impl=t_impl, dtype=self.dtype,
+                cfg.num_heads,
+                impl="fused_qkv" if t_impl == "fused_ln_qkv" else t_impl,
+                dtype=self.dtype,
                 proj_drop_rate=cfg.drop_rate, name="temporal_attn",
             )(xt, deterministic)  # (B, T, N, D), no relayout
         else:
+            xt = LayerNorm(cfg.ln_eps, dtype=self.dtype, name="temporal_norm1")(x)
             xt = jnp.moveaxis(xt, 1, 2).reshape(B * N, T, D)
             t_out = VitAttention(
                 cfg.num_heads,
@@ -298,32 +338,68 @@ class DividedSTBlock(nn.Module):
                 name="temporal_attn",
             )(xt, deterministic)
             t_out = jnp.moveaxis(t_out.reshape(B, N, T, D), 1, 2)  # (B, T, N, D)
-        t_out = self._drop_path(t_out, (B, 1, N, 1), deterministic, dp_rate)
-        t_out = nn.Dense(
-            D, dtype=self.dtype,
-            kernel_init=(
-                nn.initializers.zeros if self.zero_temporal_fc
-                else nn.initializers.truncated_normal(0.02)
-            ),
-            name="temporal_fc",
-        )(t_out)
-        x = x + t_out
+        if not t_fused_done:
+            t_out = self._drop_path(t_out, (B, 1, N, 1), deterministic, dp_rate)
+            t_out = nn.Dense(
+                D, dtype=self.dtype,
+                kernel_init=(
+                    nn.initializers.zeros if self.zero_temporal_fc
+                    else nn.initializers.truncated_normal(0.02)
+                ),
+                name="temporal_fc",
+            )(t_out)
+            x = x + t_out
 
         # ---- spatial attention over (1 + N) per frame ----
+        s_impl = cfg.attn_impl
+        if s_impl == "auto":
+            from alpro_tpu.ops.attention import _on_tpu
+
+            head_dim = D // cfg.num_heads
+            s_impl = (
+                "fused_qkv"
+                if (
+                    _on_tpu() and (1 + N) <= 640 and deterministic
+                    and D % 128 == 0 and 128 % head_dim == 0
+                )
+                else "xla"
+            )
         cls_rep = jnp.broadcast_to(cls[:, None, :, :], (B, T, 1, D)).astype(
             x.dtype
         )
         xs = jnp.concatenate([cls_rep, x], axis=2)  # (B, T, 1+N, D)
-        xs_n = LayerNorm(cfg.ln_eps, dtype=self.dtype, name="norm1")(xs)
-        s_out = VitAttention(
-            cfg.num_heads,
-            dtype=self.dtype,
-            attn_drop_rate=cfg.attn_drop_rate,
-            proj_drop_rate=cfg.drop_rate,
-            attn_impl=cfg.attn_impl,
-            name="attn",
-        )(xs_n.reshape(B * T, 1 + N, D), deterministic)
-        s_out = s_out.reshape(B, T, 1 + N, D)
+        if s_impl == "fused_ln_qkv" and deterministic:
+            # fused serving path: norm1 rides the qkv matmul, packed-qkv
+            # attention, then the proj matmul on the fast population
+            from alpro_tpu.ops.layers import AttnParams, LNParams
+            from alpro_tpu.ops.pallas_ln_mlp import fused_ln_matmul
+            from alpro_tpu.ops.pallas_qkv_attn import fused_attention_qkv
+
+            ln_s, ln_b = LNParams(name="norm1")(D)
+            (qkv_k, qkv_b), (proj_k, proj_b) = AttnParams(name="attn")(D)
+            qkv_s = fused_ln_matmul(
+                xs, ln_s, ln_b,
+                qkv_k.astype(self.dtype), qkv_b.astype(self.dtype),
+                eps=cfg.ln_eps,
+            )
+            s_att = fused_attention_qkv(
+                qkv_s.reshape(B * T, 1 + N, 3 * D), cfg.num_heads
+            )
+            s_out = jnp.dot(s_att, proj_k.astype(self.dtype)) + proj_b.astype(
+                self.dtype
+            )
+            s_out = s_out.astype(x.dtype).reshape(B, T, 1 + N, D)
+        else:
+            xs_n = LayerNorm(cfg.ln_eps, dtype=self.dtype, name="norm1")(xs)
+            s_out = VitAttention(
+                cfg.num_heads,
+                dtype=self.dtype,
+                attn_drop_rate=cfg.attn_drop_rate,
+                proj_drop_rate=cfg.drop_rate,
+                attn_impl="fused_qkv" if s_impl == "fused_ln_qkv" else s_impl,
+                name="attn",
+            )(xs_n.reshape(B * T, 1 + N, D), deterministic)
+            s_out = s_out.reshape(B, T, 1 + N, D)
         s_out = self._drop_path(s_out, (B, T, 1, 1), deterministic, dp_rate)
         cls_res = jnp.mean(s_out[:, :, 0, :], axis=1, keepdims=True)  # (B,1,D)
         x = x + s_out[:, :, 1:, :]

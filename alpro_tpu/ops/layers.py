@@ -102,20 +102,38 @@ class LNParams(nn.Module):
 
 class DenseParams(nn.Module):
     """Parameter twin of the `nn.Dense(kernel_init=truncated_normal(0.02))`
-    used throughout the encoders: declares {kernel, bias} without applying."""
+    used throughout the encoders: declares {kernel, bias} without applying.
+    `zero_kernel` mirrors the zero-initialized temporal_fc variant."""
 
     features: int
+    zero_kernel: bool = False
 
     @nn.compact
     def __call__(self, in_dim: int):
         kernel = self.param(
-            "kernel", nn.initializers.truncated_normal(0.02),
+            "kernel",
+            (
+                nn.initializers.zeros
+                if self.zero_kernel
+                else nn.initializers.truncated_normal(0.02)
+            ),
             (in_dim, self.features), jnp.float32,
         )
         bias = self.param(
             "bias", nn.initializers.zeros, (self.features,), jnp.float32
         )
         return kernel, bias
+
+
+class AttnParams(nn.Module):
+    """Parameter twin of `VitAttention`/`TemporalNativeLayoutAttention`:
+    the qkv (D→3D) and proj (D→D) Dense {kernel, bias} trees."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        qkv = DenseParams(3 * dim, name="qkv")(dim)
+        proj = DenseParams(dim, name="proj")(dim)
+        return qkv, proj
 
 
 class MlpParams(nn.Module):

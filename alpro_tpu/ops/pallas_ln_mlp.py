@@ -189,3 +189,104 @@ def fused_ln_mlp(
     if out_dtype is None:
         out_dtype = x.dtype
     return _ln_mlp(x, scale, bias, w1, b1, w2, b2, float(eps), residual, out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# LN → matmul (the pre-attention LN fused into the qkv projection)
+# ---------------------------------------------------------------------------
+def _ln_matmul_kernel(x_ref, scale_ref, bias_ref, w_ref, b_ref, o_ref, *, eps):
+    x = x_ref[...].astype(jnp.float32)  # (TM, D)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean, 0.0)
+    xn = (x - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
+    y = jax.lax.dot_general(
+        xn.astype(w_ref.dtype), w_ref[...],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (y + b_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _ln_matmul_fwd_impl(x, scale, bias, w, b, eps, out_dtype):
+    shape = x.shape
+    D = shape[-1]
+    F = w.shape[-1]
+    R = x.size // D
+    x2 = x.reshape(R, D)
+    interpret = jax.default_backend() != "tpu"
+    TM = 256 if not interpret else max(R, 1)
+    Rp = _round_up(max(R, 1), TM)
+    if Rp != R:
+        x2 = jnp.pad(x2, ((0, Rp - R), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_ln_matmul_kernel, eps=float(eps)),
+        out_shape=jax.ShapeDtypeStruct((Rp, F), out_dtype),
+        grid=(Rp // TM,),
+        in_specs=[
+            pl.BlockSpec((TM, D), lambda r: (r, 0), memory_space=_VMEM),
+            pl.BlockSpec((1, D), lambda r: (0, 0), memory_space=_VMEM),
+            pl.BlockSpec((1, D), lambda r: (0, 0), memory_space=_VMEM),
+            pl.BlockSpec((D, F), lambda r: (0, 0), memory_space=_VMEM),
+            pl.BlockSpec((1, F), lambda r: (0, 0), memory_space=_VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, F), lambda r: (r, 0), memory_space=_VMEM),
+        interpret=interpret,
+    )(x2, scale[None, :], bias[None, :], w, b[None, :])
+    if Rp != R:
+        out = out[:R]
+    return out.reshape(shape[:-1] + (F,))
+
+
+def _ln_matmul_xla_reference(x, scale, bias, w, b, eps, out_dtype):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0
+    )
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    y = jnp.dot(xn.astype(w.dtype), w, preferred_element_type=jnp.float32)
+    return (y + b.astype(jnp.float32)).astype(out_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _ln_matmul(x, scale, bias, w, b, eps, out_dtype):
+    return _ln_matmul_fwd_impl(x, scale, bias, w, b, eps, out_dtype)
+
+
+def _ln_matmul_vfwd(x, scale, bias, w, b, eps, out_dtype):
+    return (
+        _ln_matmul_fwd_impl(x, scale, bias, w, b, eps, out_dtype),
+        (x, scale, bias, w, b),
+    )
+
+
+def _ln_matmul_vbwd(eps, out_dtype, res, g):
+    x, scale, bias, w, b = res
+    _, vjp = jax.vjp(
+        lambda *a: _ln_matmul_xla_reference(*a, eps, out_dtype),
+        x, scale, bias, w, b,
+    )
+    return vjp(g)
+
+
+_ln_matmul.defvjp(_ln_matmul_vfwd, _ln_matmul_vbwd)
+
+
+def fused_ln_matmul(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    eps: float,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """``LN(x) @ w + b`` in one kernel — the pre-attention LayerNorm rides
+    the qkv projection's matmul instead of paying its own HBM round-trip
+    on the slow convert+reduce path. x: (..., D); w: (D, F)."""
+    if out_dtype is None:
+        out_dtype = x.dtype
+    return _ln_matmul(x, scale, bias, w, b, float(eps), out_dtype)
+

@@ -77,6 +77,41 @@ def test_gradients_match_reference():
         )
 
 
+def test_full_fused_serving_path_equals_xla():
+    """All three block-level fused impls (LN+qkv matmul → packed-qkv attn →
+    folded proj·temporal_fc; fused LN-MLP tail) in interpret mode vs the
+    all-XLA module path, identical params."""
+    from alpro_tpu.models import TimeSformer, TimeSformerConfig
+
+    kw = dict(
+        img_size=32, patch_size=16, num_frames=4, embed_dim=16, depth=2,
+        num_heads=2, drop_path_rate=0.0,
+    )
+    x = jnp.asarray(
+        np.random.RandomState(7).randn(2, 4, 32, 32, 3).astype(np.float32)
+    )
+    m_x = TimeSformer(
+        TimeSformerConfig(
+            **kw, attn_impl="xla", temporal_attn_impl="xla", mlp_impl="xla"
+        )
+    )
+    m_f = TimeSformer(
+        TimeSformerConfig(
+            **kw, attn_impl="fused_ln_qkv", temporal_attn_impl="fused_ln_qkv",
+            mlp_impl="fused",
+        )
+    )
+    params = m_x.init({"params": jax.random.PRNGKey(0)}, x)
+    params_f = m_f.init({"params": jax.random.PRNGKey(0)}, x)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, params_f,
+    )
+    out_x = m_x.apply(params, x)
+    out_f = m_f.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), atol=3e-5)
+
+
 def test_divided_block_fused_equals_xla():
     """TimeSformer with mlp_impl='fused' (interpret) == 'xla', same params."""
     from alpro_tpu.models import TimeSformer, TimeSformerConfig
