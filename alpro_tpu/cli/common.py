@@ -91,6 +91,14 @@ def build_model_from_cfg(cfg: Config, task: str) -> AlproModel:
 
     bert = dataclasses.replace(bert, scan_blocks=scan)
     vis = dataclasses.replace(vis, scan_blocks=scan)
+    if scan and not cfg.get("do_inference", False) and not vis.gradient_checkpointing:
+        # scanned blocks stack per-block residuals (no cross-block remat), so
+        # the flagship training backward exceeds HBM without per-block
+        # checkpointing (measured 18.7G vs 15.75G, docs/PERF.md). The
+        # reference enables grad ckpt for its larger configs the same way
+        # (`config_release/*_gc.json`); here it is the scanned-train default.
+        bert = dataclasses.replace(bert, gradient_checkpointing=True)
+        vis = dataclasses.replace(vis, gradient_checkpointing=True)
     dtype = compute_dtype(cfg)
     if task == "retrieval":
         return build_retrieval_model(bert, vis, dtype=dtype)

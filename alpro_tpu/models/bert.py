@@ -44,6 +44,10 @@ class BertConfig:
     fusion_layer: int = 6
     initializer_range: float = 0.02
     attn_impl: str = "auto"
+    # whole-layer lowering: 'auto' (TPU + deterministic → 'fused', else
+    # 'xla') | 'xla' | 'fused' — the masked attention chain and the post-LN
+    # MLP chain each run as one Pallas kernel (ops/pallas_bert_block.py)
+    block_impl: str = "auto"
     # per-layer remat (HF-style gradient checkpointing, `xbert.py:569-591`)
     gradient_checkpointing: bool = False
     # lax.scan the text/fusion layer stacks (one compiled layer body per
@@ -116,6 +120,22 @@ class BertSelfAttention(nn.Module):
         return out.reshape(B, L, D)
 
 
+class _BertAttnParams(nn.Module):
+    """Parameter twin of `BertSelfAttention`: query/key/value Dense trees."""
+
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self, dim: int):
+        from alpro_tpu.ops.layers import DenseParams
+
+        std = self.cfg.initializer_range
+        q = DenseParams(dim, init="normal", init_std=std, name="query")(dim)
+        k = DenseParams(dim, init="normal", init_std=std, name="key")(dim)
+        v = DenseParams(dim, init="normal", init_std=std, name="value")(dim)
+        return q, k, v
+
+
 class BertLayer(nn.Module):
     cfg: BertConfig
     dtype: jnp.dtype = jnp.float32
@@ -123,6 +143,59 @@ class BertLayer(nn.Module):
     @nn.compact
     def __call__(self, x, attention_mask, deterministic: bool = True):
         cfg = self.cfg
+        impl = cfg.block_impl
+        if impl == "auto":
+            from alpro_tpu.ops.attention import _on_tpu
+
+            D = cfg.hidden_size
+            hd = D // cfg.num_attention_heads
+            impl = (
+                "fused"
+                if (
+                    _on_tpu() and deterministic and x.shape[1] <= 640
+                    and D % 128 == 0 and 128 % hd == 0
+                    and cfg.intermediate_size % 128 == 0
+                )
+                else "xla"
+            )
+        if impl == "fused" and deterministic:
+            # serving path: two kernels per layer — masked attention chain
+            # and post-LN MLP chain, each one HBM round-trip
+            from alpro_tpu.ops.layers import DenseParams, LNParams
+            from alpro_tpu.ops.pallas_bert_block import (
+                fused_bert_attention_block,
+                fused_bert_mlp_block,
+            )
+
+            D = cfg.hidden_size
+            std = cfg.initializer_range
+            (wq, bq), (wk, bk), (wv, bv) = _BertAttnParams(
+                cfg, name="attention"
+            )(D)
+            wo, bo = DenseParams(
+                D, init="normal", init_std=std, name="attention_output"
+            )(D)
+            l1s, l1b = LNParams(name="attention_layernorm")(D)
+            w1, b1 = DenseParams(
+                cfg.intermediate_size, init="normal", init_std=std,
+                name="intermediate",
+            )(D)
+            w2, b2 = DenseParams(
+                D, init="normal", init_std=std, name="output"
+            )(cfg.intermediate_size)
+            l2s, l2b = LNParams(name="output_layernorm")(D)
+            dt = self.dtype
+            x = fused_bert_attention_block(
+                x.astype(dt), attention_mask,
+                wq.astype(dt), bq.astype(dt), wk.astype(dt), bk.astype(dt),
+                wv.astype(dt), bv.astype(dt), wo.astype(dt), bo.astype(dt),
+                l1s, l1b, cfg.num_attention_heads, eps=cfg.layer_norm_eps,
+            )
+            x = fused_bert_mlp_block(
+                x, w1.astype(dt), b1.astype(dt), w2.astype(dt), b2.astype(dt),
+                l2s, l2b, eps=cfg.layer_norm_eps,
+            )
+            return x
         attn_out = BertSelfAttention(cfg, dtype=self.dtype, name="attention")(
             x, attention_mask, deterministic
         )

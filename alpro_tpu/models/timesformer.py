@@ -283,7 +283,7 @@ class DividedSTBlock(nn.Module):
                 )
                 else "xla"
             )
-        if t_impl == "fused_ln_qkv" and deterministic:
+        if t_impl in ("fused_ln_qkv", "fused_block") and deterministic:
             # fully fused serving path: temporal_norm1 rides the qkv matmul
             # (fused_ln_matmul), attention stays in VMEM (packed-qkv δ-roll
             # kernel), and proj→temporal_fc — two back-to-back (D, D)
@@ -300,29 +300,47 @@ class DividedSTBlock(nn.Module):
             tfc_k, tfc_b = DenseParams(
                 D, zero_kernel=self.zero_temporal_fc, name="temporal_fc"
             )(D)
-            qkv = fused_ln_matmul(
-                x, ln_s, ln_b,
-                qkv_k.astype(self.dtype), qkv_b.astype(self.dtype),
-                eps=cfg.ln_eps,
-            )
-            t_att = fused_temporal_attention_qkv(qkv, cfg.num_heads)
             wp = proj_k.astype(self.dtype)
             wt = tfc_k.astype(self.dtype)
             w_eff = jnp.dot(wp, wt)
             b_eff = jnp.dot(proj_b.astype(self.dtype), wt) + tfc_b.astype(
                 self.dtype
             )
-            x = x + (jnp.dot(t_att, w_eff) + b_eff).astype(x.dtype)
+            if t_impl == "fused_block":
+                # whole-chain mega-kernel: qkv never leaves VMEM
+                from alpro_tpu.ops.pallas_fused_block import (
+                    fused_temporal_block,
+                )
+
+                x = fused_temporal_block(
+                    x, ln_s, ln_b,
+                    qkv_k.astype(self.dtype), qkv_b.astype(self.dtype),
+                    w_eff, b_eff, cfg.num_heads, eps=cfg.ln_eps,
+                )
+            else:
+                qkv = fused_ln_matmul(
+                    x, ln_s, ln_b,
+                    qkv_k.astype(self.dtype), qkv_b.astype(self.dtype),
+                    eps=cfg.ln_eps,
+                )
+                t_att = fused_temporal_attention_qkv(qkv, cfg.num_heads)
+                x = x + (jnp.dot(t_att, w_eff) + b_eff).astype(x.dtype)
             t_fused_done = True
         else:
             t_fused_done = False
         if t_fused_done:
             pass
-        elif t_impl in ("circulant", "packed", "fused_qkv", "fused_ln_qkv"):
+        elif t_impl in (
+            "circulant", "packed", "fused_qkv", "fused_ln_qkv", "fused_block"
+        ):
             xt = LayerNorm(cfg.ln_eps, dtype=self.dtype, name="temporal_norm1")(x)
             t_out = TemporalNativeLayoutAttention(
                 cfg.num_heads,
-                impl="fused_qkv" if t_impl == "fused_ln_qkv" else t_impl,
+                impl=(
+                    "fused_qkv"
+                    if t_impl in ("fused_ln_qkv", "fused_block")
+                    else t_impl
+                ),
                 dtype=self.dtype,
                 proj_drop_rate=cfg.drop_rate, name="temporal_attn",
             )(xt, deterministic)  # (B, T, N, D), no relayout
@@ -368,27 +386,41 @@ class DividedSTBlock(nn.Module):
             x.dtype
         )
         xs = jnp.concatenate([cls_rep, x], axis=2)  # (B, T, 1+N, D)
-        if s_impl == "fused_ln_qkv" and deterministic:
+        if s_impl in ("fused_ln_qkv", "fused_block") and deterministic:
             # fused serving path: norm1 rides the qkv matmul, packed-qkv
-            # attention, then the proj matmul on the fast population
+            # attention, then the proj matmul
             from alpro_tpu.ops.layers import AttnParams, LNParams
-            from alpro_tpu.ops.pallas_ln_mlp import fused_ln_matmul
-            from alpro_tpu.ops.pallas_qkv_attn import fused_attention_qkv
 
             ln_s, ln_b = LNParams(name="norm1")(D)
             (qkv_k, qkv_b), (proj_k, proj_b) = AttnParams(name="attn")(D)
-            qkv_s = fused_ln_matmul(
-                xs, ln_s, ln_b,
-                qkv_k.astype(self.dtype), qkv_b.astype(self.dtype),
-                eps=cfg.ln_eps,
-            )
-            s_att = fused_attention_qkv(
-                qkv_s.reshape(B * T, 1 + N, 3 * D), cfg.num_heads
-            )
-            s_out = jnp.dot(s_att, proj_k.astype(self.dtype)) + proj_b.astype(
-                self.dtype
-            )
-            s_out = s_out.astype(x.dtype).reshape(B, T, 1 + N, D)
+            if s_impl == "fused_block":
+                # whole-chain mega-kernel: qkv never leaves VMEM
+                from alpro_tpu.ops.pallas_fused_block import (
+                    fused_spatial_block,
+                )
+
+                s_out = fused_spatial_block(
+                    xs.reshape(B * T, 1 + N, D), ln_s, ln_b,
+                    qkv_k.astype(self.dtype), qkv_b.astype(self.dtype),
+                    proj_k.astype(self.dtype), proj_b.astype(self.dtype),
+                    cfg.num_heads, eps=cfg.ln_eps, residual=False,
+                ).reshape(B, T, 1 + N, D)
+            else:
+                from alpro_tpu.ops.pallas_ln_mlp import fused_ln_matmul
+                from alpro_tpu.ops.pallas_qkv_attn import fused_attention_qkv
+
+                qkv_s = fused_ln_matmul(
+                    xs, ln_s, ln_b,
+                    qkv_k.astype(self.dtype), qkv_b.astype(self.dtype),
+                    eps=cfg.ln_eps,
+                )
+                s_att = fused_attention_qkv(
+                    qkv_s.reshape(B * T, 1 + N, 3 * D), cfg.num_heads
+                )
+                s_out = jnp.dot(
+                    s_att, proj_k.astype(self.dtype)
+                ) + proj_b.astype(self.dtype)
+                s_out = s_out.astype(x.dtype).reshape(B, T, 1 + N, D)
         else:
             xs_n = LayerNorm(cfg.ln_eps, dtype=self.dtype, name="norm1")(xs)
             s_out = VitAttention(
@@ -396,7 +428,11 @@ class DividedSTBlock(nn.Module):
                 dtype=self.dtype,
                 attn_drop_rate=cfg.attn_drop_rate,
                 proj_drop_rate=cfg.drop_rate,
-                attn_impl="fused_qkv" if s_impl == "fused_ln_qkv" else s_impl,
+                attn_impl=(
+                    "fused_qkv"
+                    if s_impl in ("fused_ln_qkv", "fused_block")
+                    else s_impl
+                ),
                 name="attn",
             )(xs_n.reshape(B * T, 1 + N, D), deterministic)
             s_out = s_out.reshape(B, T, 1 + N, D)

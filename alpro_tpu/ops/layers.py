@@ -107,16 +107,22 @@ class DenseParams(nn.Module):
 
     features: int
     zero_kernel: bool = False
+    # 'trunc' (ViT-style truncated_normal(0.02)) | 'normal' (BERT-style
+    # normal(initializer_range))
+    init: str = "trunc"
+    init_std: float = 0.02
 
     @nn.compact
     def __call__(self, in_dim: int):
+        if self.zero_kernel:
+            init_fn = nn.initializers.zeros
+        elif self.init == "normal":
+            init_fn = nn.initializers.normal(self.init_std)
+        else:
+            init_fn = nn.initializers.truncated_normal(self.init_std)
         kernel = self.param(
             "kernel",
-            (
-                nn.initializers.zeros
-                if self.zero_kernel
-                else nn.initializers.truncated_normal(0.02)
-            ),
+            init_fn,
             (in_dim, self.features), jnp.float32,
         )
         bias = self.param(
