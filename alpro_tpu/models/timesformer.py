@@ -268,12 +268,13 @@ class DividedSTBlock(nn.Module):
         t_impl = cfg.temporal_attn_impl
         if t_impl == "auto":
             # measured in-model on v5e (docs/PERF.md round 2): the packed-qkv
-            # δ-roll kernel takes the full embed 103.3 → 89.0 ms/batch; it has
-            # no attention-dropout path, so fall back when one is active
+            # δ-roll kernel with the folded proj·temporal_fc output matmul is
+            # the serving winner (68.7 → 66.8 ms/batch over plain fused_qkv);
+            # the kernel has no attention-dropout path, so training keeps XLA
             from alpro_tpu.ops.attention import _on_tpu
 
             t_impl = (
-                "fused_qkv"
+                "fused_qkv_fold"
                 if (
                     _on_tpu()
                     and T <= 32
@@ -283,7 +284,10 @@ class DividedSTBlock(nn.Module):
                 )
                 else "xla"
             )
-        if t_impl in ("fused_ln_qkv", "fused_block") and deterministic:
+        if (
+            t_impl in ("fused_ln_qkv", "fused_block", "fused_qkv_fold")
+            and deterministic
+        ):
             # fully fused serving path: temporal_norm1 rides the qkv matmul
             # (fused_ln_matmul), attention stays in VMEM (packed-qkv δ-roll
             # kernel), and proj→temporal_fc — two back-to-back (D, D)
@@ -318,11 +322,22 @@ class DividedSTBlock(nn.Module):
                     w_eff, b_eff, cfg.num_heads, eps=cfg.ln_eps,
                 )
             else:
-                qkv = fused_ln_matmul(
-                    x, ln_s, ln_b,
-                    qkv_k.astype(self.dtype), qkv_b.astype(self.dtype),
-                    eps=cfg.ln_eps,
-                )
+                if t_impl == "fused_qkv_fold":
+                    # XLA LN + XLA qkv matmul (both measured faster than the
+                    # ln_matmul kernel), folded output projection
+                    from alpro_tpu.ops.layers import layernorm_apply
+
+                    xt = layernorm_apply(x, ln_s, ln_b, cfg.ln_eps, self.dtype)
+                    qkv = (
+                        jnp.dot(xt, qkv_k.astype(self.dtype))
+                        + qkv_b.astype(self.dtype)
+                    )
+                else:
+                    qkv = fused_ln_matmul(
+                        x, ln_s, ln_b,
+                        qkv_k.astype(self.dtype), qkv_b.astype(self.dtype),
+                        eps=cfg.ln_eps,
+                    )
                 t_att = fused_temporal_attention_qkv(qkv, cfg.num_heads)
                 x = x + (jnp.dot(t_att, w_eff) + b_eff).astype(x.dtype)
             t_fused_done = True
@@ -331,14 +346,15 @@ class DividedSTBlock(nn.Module):
         if t_fused_done:
             pass
         elif t_impl in (
-            "circulant", "packed", "fused_qkv", "fused_ln_qkv", "fused_block"
+            "circulant", "packed", "fused_qkv", "fused_ln_qkv", "fused_block",
+            "fused_qkv_fold",
         ):
             xt = LayerNorm(cfg.ln_eps, dtype=self.dtype, name="temporal_norm1")(x)
             t_out = TemporalNativeLayoutAttention(
                 cfg.num_heads,
                 impl=(
                     "fused_qkv"
-                    if t_impl in ("fused_ln_qkv", "fused_block")
+                    if t_impl in ("fused_ln_qkv", "fused_block", "fused_qkv_fold")
                     else t_impl
                 ),
                 dtype=self.dtype,

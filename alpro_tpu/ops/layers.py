@@ -55,15 +55,20 @@ class LayerNorm(nn.Module):
             from alpro_tpu.ops.pallas_layernorm import fused_layernorm
 
             return fused_layernorm(x, scale, bias, float(self.epsilon), self.dtype)
-        # one-pass fp32 statistics (E[x²] − E[x]²): a single read of x instead
-        # of the two-pass mean/centered-variance
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        mean_sq = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
-        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-        return y.astype(self.dtype)
+        return layernorm_apply(x, scale, bias, self.epsilon, self.dtype)
+
+
+def layernorm_apply(x, scale, bias, eps, out_dtype):
+    """Functional LN with one-pass fp32 statistics (E[x²] − E[x]²) — the
+    exact math of the `LayerNorm` module, shared with fused paths that hold
+    raw parameters."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    mean_sq = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
 
 
 class Mlp(nn.Module):
