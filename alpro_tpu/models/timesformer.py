@@ -285,7 +285,8 @@ class DividedSTBlock(nn.Module):
                 else "xla"
             )
         if (
-            t_impl in ("fused_ln_qkv", "fused_block", "fused_qkv_fold")
+            t_impl
+            in ("fused_ln_qkv", "fused_block", "fused_qkv_fold", "fused_qkv_proj")
             and deterministic
         ):
             # fully fused serving path: temporal_norm1 rides the qkv matmul
@@ -321,6 +322,30 @@ class DividedSTBlock(nn.Module):
                     qkv_k.astype(self.dtype), qkv_b.astype(self.dtype),
                     w_eff, b_eff, cfg.num_heads, eps=cfg.ln_eps,
                 )
+            elif t_impl == "fused_qkv_proj":
+                # XLA LN + qkv matmul; attention + folded projection in one
+                # kernel taking the full-width qkv block (contiguous reads,
+                # in-kernel head windows, fp32 partial accumulation). N pads
+                # to a multiple of 8 for Mosaic block tiling.
+                from alpro_tpu.ops.layers import layernorm_apply
+                from alpro_tpu.ops.pallas_qkv_attn import (
+                    fused_temporal_attention_qkv_proj,
+                )
+
+                xt = layernorm_apply(x, ln_s, ln_b, cfg.ln_eps, self.dtype)
+                Np = -(-N // 8) * 8
+                if Np != N and jax.default_backend() == "tpu":
+                    xt = jnp.pad(
+                        xt, ((0, 0), (0, 0), (0, Np - N), (0, 0))
+                    )
+                qkv = (
+                    jnp.dot(xt, qkv_k.astype(self.dtype))
+                    + qkv_b.astype(self.dtype)
+                )
+                y = fused_temporal_attention_qkv_proj(
+                    qkv, w_eff, b_eff, cfg.num_heads
+                )
+                x = x + y[:, :, :N, :].astype(x.dtype)
             else:
                 if t_impl == "fused_qkv_fold":
                     # XLA LN + XLA qkv matmul (both measured faster than the
@@ -347,14 +372,17 @@ class DividedSTBlock(nn.Module):
             pass
         elif t_impl in (
             "circulant", "packed", "fused_qkv", "fused_ln_qkv", "fused_block",
-            "fused_qkv_fold",
+            "fused_qkv_fold", "fused_qkv_proj",
         ):
             xt = LayerNorm(cfg.ln_eps, dtype=self.dtype, name="temporal_norm1")(x)
             t_out = TemporalNativeLayoutAttention(
                 cfg.num_heads,
                 impl=(
                     "fused_qkv"
-                    if t_impl in ("fused_ln_qkv", "fused_block", "fused_qkv_fold")
+                    if t_impl in (
+                        "fused_ln_qkv", "fused_block", "fused_qkv_fold",
+                        "fused_qkv_proj",
+                    )
                     else t_impl
                 ),
                 dtype=self.dtype,
@@ -402,14 +430,34 @@ class DividedSTBlock(nn.Module):
             x.dtype
         )
         xs = jnp.concatenate([cls_rep, x], axis=2)  # (B, T, 1+N, D)
-        if s_impl in ("fused_ln_qkv", "fused_block") and deterministic:
+        if (
+            s_impl in ("fused_ln_qkv", "fused_block", "fused_qkv_proj")
+            and deterministic
+        ):
             # fused serving path: norm1 rides the qkv matmul, packed-qkv
             # attention, then the proj matmul
             from alpro_tpu.ops.layers import AttnParams, LNParams
 
             ln_s, ln_b = LNParams(name="norm1")(D)
             (qkv_k, qkv_b), (proj_k, proj_b) = AttnParams(name="attn")(D)
-            if s_impl == "fused_block":
+            if s_impl == "fused_qkv_proj":
+                # XLA LN + qkv matmul; attention + projection in one kernel
+                # taking the full-width qkv block (contiguous reads)
+                from alpro_tpu.ops.layers import layernorm_apply
+                from alpro_tpu.ops.pallas_qkv_attn import (
+                    fused_attention_qkv_proj,
+                )
+
+                xs_n = layernorm_apply(xs, ln_s, ln_b, cfg.ln_eps, self.dtype)
+                qkv_s = (
+                    jnp.dot(xs_n, qkv_k.astype(self.dtype))
+                    + qkv_b.astype(self.dtype)
+                ).reshape(B * T, 1 + N, 3 * D)
+                s_out = fused_attention_qkv_proj(
+                    qkv_s, proj_k.astype(self.dtype),
+                    proj_b.astype(self.dtype), cfg.num_heads,
+                ).reshape(B, T, 1 + N, D).astype(x.dtype)
+            elif s_impl == "fused_block":
                 # whole-chain mega-kernel: qkv never leaves VMEM
                 from alpro_tpu.ops.pallas_fused_block import (
                     fused_spatial_block,
@@ -446,7 +494,7 @@ class DividedSTBlock(nn.Module):
                 proj_drop_rate=cfg.drop_rate,
                 attn_impl=(
                     "fused_qkv"
-                    if s_impl in ("fused_ln_qkv", "fused_block")
+                    if s_impl in ("fused_ln_qkv", "fused_block", "fused_qkv_proj")
                     else s_impl
                 ),
                 name="attn",

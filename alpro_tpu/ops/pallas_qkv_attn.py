@@ -262,3 +262,268 @@ def fused_temporal_attention_qkv(
     if scale is None:
         scale = hd ** -0.5
     return _temporal_attention_qkv(qkv, num_heads, float(scale))
+
+
+# ---------------------------------------------------------------------------
+# full-width variants: the qkv block arrives in VMEM at its full 3D lane
+# width (contiguous HBM reads instead of the strided 128-lane BlockSpec
+# windows above, which profiled at ~122 GB/s), head windows are sliced
+# in-kernel with dynamic lane offsets, and the output projection runs
+# in-kernel with per-window partials accumulated in fp32 scratch — the
+# attention output tensor never round-trips HBM either.
+# ---------------------------------------------------------------------------
+def _spatial_qkv_proj_kernel(qkv_ref, wp_ref, bp_ref, o_ref, acc_ref, *,
+                             scale: float, hd: int, hpb: int, nw: int, D: int):
+    h = pl.program_id(1)
+    win = hpb * hd
+    base = h * win
+    qh = qkv_ref[0, :, pl.ds(base, win)].astype(jnp.float32)
+    kh = qkv_ref[0, :, pl.ds(D + base, win)].astype(jnp.float32)
+    vh = qkv_ref[0, :, pl.ds(2 * D + base, win)].astype(jnp.float32)
+    parts = []
+    for i in range(hpb):
+        sl = slice(i * hd, (i + 1) * hd)
+        q = qh[:, sl] * scale
+        k = kh[:, sl]
+        v = vh[:, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        parts.append(o / l)
+    opart = jnp.concatenate(parts, axis=-1)  # (S, win)
+    contrib = jax.lax.dot_general(
+        opart.astype(wp_ref.dtype), wp_ref[...],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(h == 0)
+    def _init():
+        acc_ref[...] = contrib
+
+    @pl.when(h > 0)
+    def _accum():
+        acc_ref[...] += contrib
+
+    @pl.when(h == nw - 1)
+    def _emit():
+        o_ref[0] = (acc_ref[...] + bp_ref[...].astype(jnp.float32)).astype(
+            o_ref.dtype
+        )
+
+
+def _spatial_qkv_proj_fwd_impl(qkv, wproj, bproj, num_heads, scale):
+    M, S, threeD = qkv.shape
+    D = threeD // 3
+    hd = D // num_heads
+    interpret = jax.default_backend() != "tpu"
+    win = _LANE if not interpret else D
+    hpb = win // hd
+    nw = D // win
+    out = pl.pallas_call(
+        functools.partial(
+            _spatial_qkv_proj_kernel, scale=float(scale), hd=hd, hpb=hpb,
+            nw=nw, D=D,
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, S, D), qkv.dtype),
+        grid=(M, nw),
+        in_specs=[
+            pl.BlockSpec((1, S, threeD), lambda m, h: (m, 0, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((win, D), lambda m, h: (h, 0), memory_space=_VMEM),
+            pl.BlockSpec((1, D), lambda m, h: (0, 0), memory_space=_VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, S, D), lambda m, h: (m, 0, 0), memory_space=_VMEM
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((S, D), jnp.float32)] if pltpu is not None else []
+        ),
+        interpret=interpret,
+    )(qkv, wproj, bproj[None, :])
+    return out
+
+
+def _spatial_qkv_proj_xla_reference(qkv, wproj, bproj, num_heads, scale):
+    o = _spatial_xla_reference(qkv, num_heads, scale)
+    y = jnp.einsum(
+        "msd,df->msf", o.astype(wproj.dtype), wproj,
+        preferred_element_type=jnp.float32,
+    ) + bproj.astype(jnp.float32)
+    return y.astype(qkv.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _spatial_qkv_proj(qkv, wproj, bproj, num_heads, scale):
+    return _spatial_qkv_proj_fwd_impl(qkv, wproj, bproj, num_heads, scale)
+
+
+def _spatial_qkv_proj_vfwd(qkv, wproj, bproj, num_heads, scale):
+    return (
+        _spatial_qkv_proj_fwd_impl(qkv, wproj, bproj, num_heads, scale),
+        (qkv, wproj, bproj),
+    )
+
+
+def _spatial_qkv_proj_vbwd(num_heads, scale, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _spatial_qkv_proj_xla_reference(*a, num_heads, scale), *res
+    )
+    return vjp(g)
+
+
+_spatial_qkv_proj.defvjp(_spatial_qkv_proj_vfwd, _spatial_qkv_proj_vbwd)
+
+
+def fused_attention_qkv_proj(
+    qkv: jnp.ndarray, wproj: jnp.ndarray, bproj: jnp.ndarray, num_heads: int,
+    *, scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """``attn(qkv) @ wproj + bproj`` over packed qkv (M, S, 3D) → (M, S, D),
+    full-width VMEM qkv block + in-kernel output projection."""
+    D = qkv.shape[-1] // 3
+    hd = D // num_heads
+    if scale is None:
+        scale = hd ** -0.5
+    return _spatial_qkv_proj(qkv, wproj, bproj, num_heads, float(scale))
+
+
+def _temporal_qkv_proj_kernel(qkv_ref, we_ref, be_ref, o_ref, acc_ref, *,
+                              scale: float, hd: int, hpb: int, nw: int,
+                              D: int, T: int):
+    h = pl.program_id(2)
+    win = hpb * hd
+    base = h * win
+    Nt = qkv_ref.shape[2]
+    qh = qkv_ref[0, :, :, pl.ds(base, win)].astype(jnp.float32)  # (T, Nt, win)
+    kh = qkv_ref[0, :, :, pl.ds(D + base, win)].astype(jnp.float32)
+    vh = qkv_ref[0, :, :, pl.ds(2 * D + base, win)].astype(jnp.float32)
+    parts = []
+    for i in range(hpb):
+        sl = slice(i * hd, (i + 1) * hd)
+        q = qh[:, :, sl] * scale
+        k = kh[:, :, sl]
+        v = vh[:, :, sl]
+        bands = [
+            jnp.sum(q * _roll_up(k, d), axis=-1, keepdims=True)
+            for d in range(T)
+        ]
+        m = bands[0]
+        for bnd in bands[1:]:
+            m = jnp.maximum(m, bnd)
+        exps = [jnp.exp(bnd - m) for bnd in bands]
+        den = exps[0]
+        for e in exps[1:]:
+            den = den + e
+        o = exps[0] * v
+        for d in range(1, T):
+            o = o + exps[d] * _roll_up(v, d)
+        parts.append((o / den).reshape(T * Nt, hd))
+    opart = jnp.concatenate(parts, axis=-1)  # (T·Nt, win)
+    contrib = jax.lax.dot_general(
+        opart.astype(we_ref.dtype), we_ref[...],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(h == 0)
+    def _init():
+        acc_ref[...] = contrib
+
+    @pl.when(h > 0)
+    def _accum():
+        acc_ref[...] += contrib
+
+    @pl.when(h == nw - 1)
+    def _emit():
+        y = acc_ref[...] + be_ref[...].astype(jnp.float32)
+        o_ref[0] = y.reshape(T, Nt, D).astype(o_ref.dtype)
+
+
+def _pick_nt8(N: int, cap: int = 48) -> int:
+    for cand in range(min(N - N % 8, cap), 7, -8):
+        if N % cand == 0:
+            return cand
+    return N
+
+
+def _temporal_qkv_proj_fwd_impl(qkv, w_eff, b_eff, num_heads, scale):
+    B, T, N, threeD = qkv.shape
+    D = threeD // 3
+    hd = D // num_heads
+    interpret = jax.default_backend() != "tpu"
+    win = _LANE if not interpret else D
+    hpb = win // hd
+    nw = D // win
+    Nt = _pick_nt8(N) if not interpret else N
+    out = pl.pallas_call(
+        functools.partial(
+            _temporal_qkv_proj_kernel, scale=float(scale), hd=hd, hpb=hpb,
+            nw=nw, D=D, T=T,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, T, N, D), qkv.dtype),
+        grid=(B, N // Nt, nw),
+        in_specs=[
+            pl.BlockSpec((1, T, Nt, threeD), lambda b, n, h: (b, 0, n, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((win, D), lambda b, n, h: (h, 0), memory_space=_VMEM),
+            pl.BlockSpec((1, D), lambda b, n, h: (0, 0), memory_space=_VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, T, Nt, D), lambda b, n, h: (b, 0, n, 0), memory_space=_VMEM
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((T * Nt, D), jnp.float32)] if pltpu is not None else []
+        ),
+        interpret=interpret,
+    )(qkv, w_eff, b_eff[None, :])
+    return out
+
+
+def _temporal_qkv_proj_xla_reference(qkv, w_eff, b_eff, num_heads, scale):
+    o = _temporal_xla_reference(qkv, num_heads, scale)
+    y = jnp.einsum(
+        "btnd,df->btnf", o.astype(w_eff.dtype), w_eff,
+        preferred_element_type=jnp.float32,
+    ) + b_eff.astype(jnp.float32)
+    return y.astype(qkv.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _temporal_qkv_proj(qkv, w_eff, b_eff, num_heads, scale):
+    return _temporal_qkv_proj_fwd_impl(qkv, w_eff, b_eff, num_heads, scale)
+
+
+def _temporal_qkv_proj_vfwd(qkv, w_eff, b_eff, num_heads, scale):
+    return (
+        _temporal_qkv_proj_fwd_impl(qkv, w_eff, b_eff, num_heads, scale),
+        (qkv, w_eff, b_eff),
+    )
+
+
+def _temporal_qkv_proj_vbwd(num_heads, scale, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _temporal_qkv_proj_xla_reference(*a, num_heads, scale), *res
+    )
+    return vjp(g)
+
+
+_temporal_qkv_proj.defvjp(_temporal_qkv_proj_vfwd, _temporal_qkv_proj_vbwd)
+
+
+def fused_temporal_attention_qkv_proj(
+    qkv: jnp.ndarray, w_eff: jnp.ndarray, b_eff: jnp.ndarray, num_heads: int,
+    *, scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """``temporal_attn(qkv) @ w_eff + b_eff`` over (B, T, N, 3D) → (B, T, N, D).
+    On TPU, N must be a multiple of 8 (pad and slice at the call site —
+    Mosaic block tiling); full-width VMEM qkv block + in-kernel projection."""
+    D = qkv.shape[-1] // 3
+    hd = D // num_heads
+    if scale is None:
+        scale = hd ** -0.5
+    return _temporal_qkv_proj(qkv, w_eff, b_eff, num_heads, float(scale))

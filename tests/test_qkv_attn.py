@@ -74,3 +74,79 @@ def test_temporal_qkv_matches_bshd_model_path():
     o = multi_head_attention_bshd(q, k, v, impl="xla").reshape(B * N, T, D)
     want = jnp.moveaxis(o.reshape(B, N, T, D), 1, 2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_spatial_qkv_proj_matches_reference():
+    from alpro_tpu.ops.pallas_qkv_attn import (
+        _spatial_qkv_proj_xla_reference,
+        fused_attention_qkv_proj,
+    )
+
+    rng = np.random.RandomState(5)
+    M, S, H, hd = 3, 9, 4, 8
+    D = H * hd
+    qkv = jnp.asarray(rng.randn(M, S, 3 * D).astype(np.float32))
+    wp = jnp.asarray(rng.randn(D, D).astype(np.float32) * 0.2)
+    bp = jnp.asarray(rng.randn(D).astype(np.float32) * 0.1)
+    got = fused_attention_qkv_proj(qkv, wp, bp, H)
+    want = _spatial_qkv_proj_xla_reference(qkv, wp, bp, H, hd ** -0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_temporal_qkv_proj_matches_reference_and_grads():
+    from alpro_tpu.ops.pallas_qkv_attn import (
+        _temporal_qkv_proj_xla_reference,
+        fused_temporal_attention_qkv_proj,
+    )
+
+    rng = np.random.RandomState(6)
+    B, T, N, H, hd = 2, 4, 6, 3, 8
+    D = H * hd
+    qkv = jnp.asarray(rng.randn(B, T, N, 3 * D).astype(np.float32))
+    we = jnp.asarray(rng.randn(D, D).astype(np.float32) * 0.2)
+    be = jnp.asarray(rng.randn(D).astype(np.float32) * 0.1)
+    got = fused_temporal_attention_qkv_proj(qkv, we, be, H)
+    want = _temporal_qkv_proj_xla_reference(qkv, we, be, H, hd ** -0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    g1 = jax.grad(
+        lambda q: jnp.sum(fused_temporal_attention_qkv_proj(q, we, be, H) ** 2)
+    )(qkv)
+    g2 = jax.grad(
+        lambda q: jnp.sum(
+            _temporal_qkv_proj_xla_reference(q, we, be, H, hd ** -0.5) ** 2
+        )
+    )(qkv)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-3
+    )
+
+
+def test_model_fused_qkv_proj_equals_xla():
+    from alpro_tpu.models import TimeSformer, TimeSformerConfig
+
+    kw = dict(
+        img_size=32, patch_size=16, num_frames=4, embed_dim=16, depth=2,
+        num_heads=2, drop_path_rate=0.0,
+    )
+    x = jnp.asarray(
+        np.random.RandomState(8).randn(2, 4, 32, 32, 3).astype(np.float32)
+    )
+    m_x = TimeSformer(
+        TimeSformerConfig(**kw, attn_impl="xla", temporal_attn_impl="xla")
+    )
+    m_f = TimeSformer(
+        TimeSformerConfig(
+            **kw, attn_impl="fused_qkv_proj",
+            temporal_attn_impl="fused_qkv_proj",
+        )
+    )
+    params = m_x.init({"params": jax.random.PRNGKey(0)}, x)
+    params_f = m_f.init({"params": jax.random.PRNGKey(0)}, x)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, params_f,
+    )
+    out_x = m_x.apply(params, x)
+    out_f = m_f.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), atol=5e-5)
