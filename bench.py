@@ -153,34 +153,40 @@ def main():
         _ = float(acc)  # readback closes the measured region
         resident_cps = max(resident_cps, B * n_iters / (time.perf_counter() - t0))
 
-    # 2) host-fed through the tunnel (staging thread overlaps device_put)
-    q: "queue.Queue" = queue.Queue(maxsize=2)
+    # 2) host-fed through the tunnel (staging thread overlaps device_put);
+    # best-of-2 — the tunnel has multi-minute bad phases 10-50× slower
+    host_fed = 0.0
+    for _trial in range(2):
+        q: "queue.Queue" = queue.Queue(maxsize=2)
 
-    def stage():
-        for i in range(n_iters):
-            q.put(jax.device_put(host_clips[i % len(host_clips)]))
-        q.put(None)
+        def stage():
+            for i in range(n_iters):
+                q.put(jax.device_put(host_clips[i % len(host_clips)]))
+            q.put(None)
 
-    threading.Thread(target=stage, daemon=True).start()
-    t0 = time.perf_counter()
-    acc = None
-    while True:
-        x = q.get()
-        if x is None:
+        threading.Thread(target=stage, daemon=True).start()
+        t0 = time.perf_counter()
+        acc = None
+        while True:
+            x = q.get()
+            if x is None:
+                break
+            r = embed_checksum(params, x)
+            acc = r if acc is None else acc + r
+        _ = float(acc)
+        host_fed = max(host_fed, B * n_iters / (time.perf_counter() - t0))
+        if _time_left() < 900:
             break
-        r = embed_checksum(params, x)
-        acc = r if acc is None else acc + r
-    _ = float(acc)
-    out["host_fed_via_tunnel_clips_per_sec"] = round(
-        B * n_iters / (time.perf_counter() - t0), 2
-    )
+    out["host_fed_via_tunnel_clips_per_sec"] = round(host_fed, 2)
 
-    # 3) true decode→embed pipeline: C++ decoder workers → crop → device
+    # 3) true decode→embed pipeline: C++ decoder workers → crop → device;
+    # best-of-2 for the same tunnel-phase reason as above
     if paths:
         try:
-            out["pipeline_decode_embed_clips_per_sec"] = round(
-                _pipeline_decode_embed(paths, embed_checksum, params), 2
-            )
+            pipe = _pipeline_decode_embed(paths, embed_checksum, params)
+            if _time_left() > 900:
+                pipe = max(pipe, _pipeline_decode_embed(paths, embed_checksum, params))
+            out["pipeline_decode_embed_clips_per_sec"] = round(pipe, 2)
         except Exception as e:
             out["pipeline_error"] = repr(e)[:200]
 
