@@ -83,18 +83,21 @@ def _bert_attn_kernel(
     parts = []
     for i in range(hpb):
         sl = slice(i * hd, (i + 1) * hd)
-        q = qh[:, sl] * scale
-        k = kh[:, sl]
+        # bf16 operands into the MXU (fp32 operands run at a fraction of the
+        # bf16 rate); fp32 accumulation, scale applied to fp32 scores
+        q = qh[:, sl].astype(xc.dtype)
+        k = kh[:, sl].astype(xc.dtype)
         v = vh[:, sl]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        ) * scale
         s = s + mrow  # broadcast over query rows
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(xc.dtype), v.astype(xc.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         parts.append(o / l)
     opart = jnp.concatenate(parts, axis=-1)

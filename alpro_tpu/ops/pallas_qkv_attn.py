@@ -57,12 +57,16 @@ def _spatial_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hd: int,
                     heads_per_block: int):
     for i in range(heads_per_block):
         sl = slice(i * hd, (i + 1) * hd)
-        q = q_ref[0, :, sl].astype(jnp.float32) * scale
-        k = k_ref[0, :, sl].astype(jnp.float32)
+        # QKᵀ takes the stored (bf16) operands — fp32 operands would run the
+        # MXU at a fraction of its bf16 rate; accumulation stays fp32 and the
+        # scale is applied to the fp32 scores (matches the XLA path's
+        # bf16-operand dot numerics)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
         v = v_ref[0, :, sl]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        ) * scale
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
