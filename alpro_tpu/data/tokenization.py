@@ -188,8 +188,19 @@ def build_tokenizer(tokenizer_dir: Optional[str] = None):
             return HFTokenizerAdapter(
                 BertTokenizerFast.from_pretrained(tokenizer_dir)
             )
-        except Exception:
+        except Exception as e:
             if os.path.exists(vocab_file):
+                # loud: the fallback's BasicTokenizer is simplified (no
+                # accent stripping / CJK / full punctuation classes) — fine
+                # for fixtures, a silent parity trap on real captions
+                import logging
+
+                logging.getLogger("alpro_tpu").warning(
+                    "HF tokenizer unavailable (%r); falling back to the "
+                    "built-in WordPieceTokenizer, whose pre-tokenization is "
+                    "simplified vs BERT BasicTokenizer — real-caption runs "
+                    "should install/point at HF assets", e,
+                )
                 return WordPieceTokenizer.from_vocab_file(vocab_file)
             raise
     if tokenizer_dir and os.path.isfile(tokenizer_dir):
