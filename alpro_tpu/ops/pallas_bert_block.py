@@ -42,6 +42,11 @@ except Exception:  # pragma: no cover
     _VMEM = None
 
 _LANE = 128
+# attention-chain head-window width. 384 (the packed-qkv spatial kernel's
+# winner) was measured WORSE here (retrieval p50 28.9 → 32.5 ms): BERT's
+# short sequences make per-program compute, not DMA run length, the
+# constraint. 128 stands.
+_ATTN_LANE = 128
 _TM = 128
 
 
@@ -131,7 +136,9 @@ def _bert_attn_fwd_impl(
     M, S, D = x.shape
     hd = D // num_heads
     interpret = jax.default_backend() != "tpu"
-    win = _LANE if not interpret else D
+    win = _ATTN_LANE if not interpret else D
+    if D % win != 0 or win % hd != 0:
+        win = _LANE
     hpb = win // hd
     nw = D // win
 

@@ -51,6 +51,11 @@ except Exception:  # pragma: no cover
     _VMEM = None
 
 _LANE = 128
+# spatial kernel channel-window width (heads per program = width // hd).
+# 384 measured in-model 66.8 → 63.1 ms/batch over 128 (3× longer contiguous
+# DMA runs, 1/3 the grid steps); the temporal kernel at 384 crashes this
+# toolchain's Mosaic and stays at 128. Module-level for A/B.
+_SPATIAL_LANE = 384
 
 
 def _spatial_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hd: int,
@@ -79,7 +84,9 @@ def _spatial_fwd_impl(qkv, num_heads, scale):
     D = threeD // 3
     hd = D // num_heads
     interpret = jax.default_backend() != "tpu"
-    lane = _LANE if not interpret else hd
+    lane = _SPATIAL_LANE if not interpret else hd
+    if D % lane != 0 or lane % hd != 0:
+        lane = _LANE
     hpb = lane // hd
     nq = D // lane  # lane-blocks per q/k/v section
 
