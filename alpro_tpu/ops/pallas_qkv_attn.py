@@ -196,14 +196,73 @@ def _temporal_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hd: int,
         o_ref[0, :, :, sl] = (o / den).astype(o_ref.dtype)
 
 
+def _temporal_kernel_flash(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                           hd: int, heads_per_block: int, T: int):
+    """Online-softmax (flash) over the δ-roll bands: a fori_loop carries
+    (m, den, o, k_cur, v_cur) and rolls k/v by ONE position per iteration
+    (static-shape concat), so the body stays tiny regardless of T and the
+    head count per program — the fully unrolled band variant above crashes
+    Mosaic beyond 2 heads/program."""
+    for i in range(heads_per_block):
+        sl = slice(i * hd, (i + 1) * hd)
+        q = q_ref[0, :, :, sl].astype(jnp.float32) * scale  # (T, N, hd)
+        k0 = k_ref[0, :, :, sl].astype(jnp.float32)
+        v0 = v_ref[0, :, :, sl].astype(jnp.float32)
+        band0 = jnp.sum(q * k0, axis=-1, keepdims=True)  # δ = 0
+        m = band0
+        den = jnp.ones_like(band0)
+        o = v0
+
+        def body(_d, carry):
+            m, den, o, k_cur, v_cur = carry
+            k_cur = jnp.concatenate([k_cur[1:], k_cur[:1]], axis=0)
+            v_cur = jnp.concatenate([v_cur[1:], v_cur[:1]], axis=0)
+            band = jnp.sum(q * k_cur, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m, band)
+            c = jnp.exp(m - m_new)
+            p = jnp.exp(band - m_new)
+            return m_new, den * c + p, o * c + p * v_cur, k_cur, v_cur
+
+        m, den, o, _, _ = jax.lax.fori_loop(1, T, body, (m, den, o, k0, v0))
+        o_ref[0, :, :, sl] = (o / den).astype(o_ref.dtype)
+
+
+_TEMPORAL_LANE = 128
+_TEMPORAL_FLASH = False
+
+
 def _temporal_fwd_impl(qkv, num_heads, scale):
     B, T, N, threeD = qkv.shape
     D = threeD // 3
     hd = D // num_heads
     interpret = jax.default_backend() != "tpu"
-    lane = _LANE if not interpret else hd
+    lane = (_TEMPORAL_LANE if _TEMPORAL_FLASH else _LANE) if not interpret else hd
+    if D % lane != 0 or lane % hd != 0:
+        lane = _LANE
     hpb = lane // hd
     nq = D // lane
+    if _TEMPORAL_FLASH and not interpret:
+        kern = functools.partial(
+            _temporal_kernel_flash, scale=float(scale), hd=hd,
+            heads_per_block=hpb, T=T,
+        )
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((B, T, N, D), qkv.dtype),
+            grid=(B, nq),
+            in_specs=[
+                pl.BlockSpec((1, T, N, lane), lambda b, h: (b, 0, 0, h),
+                             memory_space=_VMEM),
+                pl.BlockSpec((1, T, N, lane), lambda b, h, nq=nq: (b, 0, 0, nq + h),
+                             memory_space=_VMEM),
+                pl.BlockSpec((1, T, N, lane), lambda b, h, nq=nq: (b, 0, 0, 2 * nq + h),
+                             memory_space=_VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, T, N, lane), lambda b, h: (b, 0, 0, h), memory_space=_VMEM
+            ),
+            interpret=False,
+        )(qkv, qkv, qkv)
 
     out = pl.pallas_call(
         functools.partial(
