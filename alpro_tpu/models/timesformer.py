@@ -413,19 +413,10 @@ class DividedSTBlock(nn.Module):
             x = x + t_out
 
         # ---- spatial attention over (1 + N) per frame ----
+        # 'auto' resolution lives in VitAttention (single source of truth);
+        # the block-level branch below only triggers on the explicit
+        # block-level impl values.
         s_impl = cfg.attn_impl
-        if s_impl == "auto":
-            from alpro_tpu.ops.attention import _on_tpu
-
-            head_dim = D // cfg.num_heads
-            s_impl = (
-                "fused_qkv"
-                if (
-                    _on_tpu() and (1 + N) <= 640 and deterministic
-                    and D % 128 == 0 and 128 % head_dim == 0
-                )
-                else "xla"
-            )
         cls_rep = jnp.broadcast_to(cls[:, None, :, :], (B, T, 1, D)).astype(
             x.dtype
         )
@@ -523,7 +514,10 @@ class DividedSTBlock(nn.Module):
                 )
                 else "xla"
             )
-        if mlp_impl == "fused":
+        if mlp_impl == "fused" and deterministic:
+            # deterministic-only (like every fused path): the kernel has no
+            # dropout/droppath; explicit 'fused' under training falls back to
+            # the module path rather than silently dropping regularization
             from alpro_tpu.ops.layers import LNParams, MlpParams
             from alpro_tpu.ops.pallas_ln_mlp import fused_ln_mlp
 

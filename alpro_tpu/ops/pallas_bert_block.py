@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from alpro_tpu.ops.pallas_ln_mlp import _gelu_exact_f32
+from alpro_tpu.ops.kernel_math import gelu_exact_f32 as _gelu_exact_f32
+from alpro_tpu.ops.kernel_math import ln_rows_f32
 
 try:  # pltpu only resolves on TPU builds; keep importable on CPU for tests
     from jax.experimental.pallas import tpu as pltpu
@@ -54,11 +55,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _ln_rows_f32(y, scale, bias, eps):
-    mean = jnp.mean(y, axis=-1, keepdims=True)
-    var = jnp.maximum(jnp.mean(y * y, axis=-1, keepdims=True) - mean * mean, 0.0)
-    out = (y - mean) * jax.lax.rsqrt(var + eps)
-    return out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+_ln_rows_f32 = ln_rows_f32
 
 
 # ---------------------------------------------------------------------------

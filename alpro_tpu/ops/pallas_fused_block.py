@@ -50,15 +50,7 @@ except Exception:  # pragma: no cover
 _LANE = 128
 
 
-def _ln_rows(x, scale, bias, eps):
-    """fp32 one-pass LN over the last axis (ops/layers.py::LayerNorm math)."""
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.maximum(
-        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0
-    )
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+from alpro_tpu.ops.kernel_math import ln_rows_f32 as _ln_rows
 
 
 # ---------------------------------------------------------------------------

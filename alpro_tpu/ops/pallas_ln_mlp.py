@@ -31,6 +31,9 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from alpro_tpu.ops.kernel_math import gelu_exact_f32 as _gelu_exact_f32
+from alpro_tpu.ops.kernel_math import ln_rows_f32 as _ln_rows_f32
+
 try:  # pltpu only resolves on TPU builds; keep importable on CPU for tests
     from jax.experimental.pallas import tpu as pltpu
 
@@ -46,34 +49,12 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _erf_f32(x):
-    """fp32 erf via Abramowitz–Stegun 7.1.26 (max abs error 1.5e-7 — below
-    fp32 round-off for the GELU use). Mosaic has no erf primitive
-    (NotImplementedError on this toolchain); this uses only exp/divide."""
-    a = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * a)
-    poly = t * (
-        0.254829592
-        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
-    )
-    e = 1.0 - poly * jnp.exp(-a * a)
-    return jnp.where(x < 0.0, -e, e)
-
-
-def _gelu_exact_f32(x):
-    # jax.nn.gelu(approximate=False) = x·Φ(x) with the exact-erf CDF
-    return x * 0.5 * (1.0 + _erf_f32(x * (2.0 ** -0.5)))
-
-
 def _ln_mlp_kernel(
     x_ref, scale_ref, bias_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     *, eps: float, residual: bool,
 ):
     x = x_ref[...].astype(jnp.float32)  # (TM, D)
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean, 0.0)
-    xn = (x - mean) * jax.lax.rsqrt(var + eps)
-    xn = xn * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
+    xn = _ln_rows_f32(x, scale_ref[...], bias_ref[...], eps)
     h = jax.lax.dot_general(
         xn.astype(w1_ref.dtype), w1_ref[...],
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -125,12 +106,7 @@ def _fwd_impl(x, scale, bias, w1, b1, w2, b2, eps, residual, out_dtype):
 def _ln_mlp_xla_reference(x, scale, bias, w1, b1, w2, b2, eps, residual, out_dtype):
     """Same math in plain XLA (backward recompute + CPU test oracle)."""
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.maximum(
-        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0
-    )
-    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xn = xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    xn = _ln_rows_f32(xf, scale, bias, eps)
     h = jnp.dot(
         xn.astype(w1.dtype), w1, preferred_element_type=jnp.float32
     ) + b1.astype(jnp.float32)
@@ -195,11 +171,7 @@ def fused_ln_mlp(
 # LN → matmul (the pre-attention LN fused into the qkv projection)
 # ---------------------------------------------------------------------------
 def _ln_matmul_kernel(x_ref, scale_ref, bias_ref, w_ref, b_ref, o_ref, *, eps):
-    x = x_ref[...].astype(jnp.float32)  # (TM, D)
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean, 0.0)
-    xn = (x - mean) * jax.lax.rsqrt(var + eps)
-    xn = xn * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
+    xn = _ln_rows_f32(x_ref[...], scale_ref[...], bias_ref[...], eps)
     y = jax.lax.dot_general(
         xn.astype(w_ref.dtype), w_ref[...],
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -238,13 +210,7 @@ def _ln_matmul_fwd_impl(x, scale, bias, w, b, eps, out_dtype):
 
 
 def _ln_matmul_xla_reference(x, scale, bias, w, b, eps, out_dtype):
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.maximum(
-        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0
-    )
-    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xn = xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    xn = _ln_rows_f32(x, scale, bias, eps)
     y = jnp.dot(xn.astype(w.dtype), w, preferred_element_type=jnp.float32)
     return (y + b.astype(jnp.float32)).astype(out_dtype)
 
