@@ -178,9 +178,17 @@ def _temporal_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hd: int,
         q = q_ref[0, :, :, sl].astype(jnp.float32) * scale  # (T, N, hd)
         k = k_ref[0, :, :, sl].astype(jnp.float32)
         v = v_ref[0, :, :, sl].astype(jnp.float32)
+        # double k/v once so each δ-roll is a static slice of the doubled
+        # buffer rather than a materialized two-piece concat (2 copies per
+        # head instead of 2·T)
+        k2 = jnp.concatenate([k, k], axis=0)  # (2T, N, hd)
+        v2 = jnp.concatenate([v, v], axis=0)
         # band_δ[t, n] = Σ_d q[t]·k[(t+δ)%T]; softmax over keys ≡ over δ
         bands = [
-            jnp.sum(q * _roll_up(k, d), axis=-1, keepdims=True)
+            jnp.sum(
+                q * jax.lax.slice_in_dim(k2, d, d + T, axis=0),
+                axis=-1, keepdims=True,
+            )
             for d in range(T)
         ]  # each (T, N, 1)
         m = bands[0]
@@ -192,7 +200,7 @@ def _temporal_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hd: int,
             den = den + e
         o = exps[0] * v
         for d in range(1, T):
-            o = o + exps[d] * _roll_up(v, d)
+            o = o + exps[d] * jax.lax.slice_in_dim(v2, d, d + T, axis=0)
         o_ref[0, :, :, sl] = (o / den).astype(o_ref.dtype)
 
 
