@@ -138,3 +138,37 @@ def test_scanned_droppath_runs():
         rngs={"droppath": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cli_scan_training_defaults_grad_ckpt(tmp_path):
+    """Scanned training configs default per-block gradient checkpointing
+    (scan stacks residuals; the un-rematted flagship backward exceeds HBM —
+    docs/PERF.md), while inference and scan-off configs are untouched."""
+    import json
+
+    from alpro_tpu.cli.common import build_model_from_cfg
+    from alpro_tpu.core.config import Config
+
+    base = tmp_path / "base_model.json"
+    base.write_text(json.dumps({
+        "vocab_size": 100, "hidden_size": 16, "num_hidden_layers": 2,
+        "num_attention_heads": 2, "intermediate_size": 32, "fusion_layer": 1,
+    }))
+    vis = tmp_path / "vis_model.json"
+    vis.write_text(json.dumps({"embed_dim": 16, "depth": 2, "num_heads": 2}))
+
+    def mk(**kw):
+        return Config({
+            "model_config": str(base), "visual_model_cfg": str(vis),
+            "crop_img_size": 32, "num_frm": 2, **kw,
+        })
+
+    m = build_model_from_cfg(mk(), "retrieval")
+    assert m.cfg.visual.gradient_checkpointing
+    assert m.cfg.bert.gradient_checkpointing
+
+    m = build_model_from_cfg(mk(do_inference=1), "retrieval")
+    assert not m.cfg.visual.gradient_checkpointing
+
+    m = build_model_from_cfg(mk(scan_blocks=0), "retrieval")
+    assert not m.cfg.visual.gradient_checkpointing
