@@ -237,6 +237,41 @@ def _temporal_kernel_flash(q_ref, k_ref, v_ref, o_ref, *, scale: float,
 
 _TEMPORAL_LANE = 128
 _TEMPORAL_FLASH = False
+_TEMPORAL_SEG = False
+
+
+def _temporal_kernel_seg(q_ref, k_ref, v_ref, seg_ref, o_ref, *,
+                         scale: float, hd: int, heads_per_block: int, T: int):
+    """δ-band variant with the cross-lane band reductions moved onto the
+    MXU: the T rolled products are stacked along lanes and contracted with a
+    block-diagonal ones matrix (seg_ref, (T·hd, pad128)), replacing 2·T
+    VPU lane-reductions per head with one matmul — the in-kernel profile's
+    dominant cost (docs/PERF.md round 2)."""
+    for i in range(heads_per_block):
+        sl = slice(i * hd, (i + 1) * hd)
+        q = q_ref[0, :, :, sl].astype(jnp.float32) * scale  # (T, N, hd)
+        k = k_ref[0, :, :, sl].astype(jnp.float32)
+        v = v_ref[0, :, :, sl].astype(jnp.float32)
+        N = q.shape[1]
+        k2 = jnp.concatenate([k, k], axis=0)
+        v2 = jnp.concatenate([v, v], axis=0)
+        prods = jnp.concatenate(
+            [q * jax.lax.slice_in_dim(k2, d, d + T, axis=0) for d in range(T)],
+            axis=-1,
+        )  # (T, N, T·hd)
+        bands = jax.lax.dot_general(
+            prods.reshape(T * N, T * hd).astype(o_ref.dtype),
+            seg_ref[...],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )[:, :T]  # (T·N, T): band_δ in column δ
+        m = jnp.max(bands, axis=-1, keepdims=True)
+        p = jnp.exp(bands - m)
+        den = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / den).reshape(T, N, T)
+        o = p[:, :, 0:1] * v
+        for d in range(1, T):
+            o = o + p[:, :, d:d + 1] * jax.lax.slice_in_dim(v2, d, d + T, axis=0)
+        o_ref[0, :, :, sl] = o.astype(o_ref.dtype)
 
 
 def _temporal_fwd_impl(qkv, num_heads, scale):
@@ -249,6 +284,33 @@ def _temporal_fwd_impl(qkv, num_heads, scale):
         lane = _LANE
     hpb = lane // hd
     nq = D // lane
+    if _TEMPORAL_SEG and not interpret:
+        segc = max(128, T)
+        seg = (
+            (jnp.arange(T * hd)[:, None] // hd) == jnp.arange(segc)[None, :]
+        ).astype(qkv.dtype)
+        return pl.pallas_call(
+            functools.partial(
+                _temporal_kernel_seg, scale=float(scale), hd=hd,
+                heads_per_block=hpb, T=T,
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, T, N, D), qkv.dtype),
+            grid=(B, nq),
+            in_specs=[
+                pl.BlockSpec((1, T, N, lane), lambda b, h: (b, 0, 0, h),
+                             memory_space=_VMEM),
+                pl.BlockSpec((1, T, N, lane), lambda b, h, nq=nq: (b, 0, 0, nq + h),
+                             memory_space=_VMEM),
+                pl.BlockSpec((1, T, N, lane), lambda b, h, nq=nq: (b, 0, 0, 2 * nq + h),
+                             memory_space=_VMEM),
+                pl.BlockSpec((T * hd, segc), lambda b, h: (0, 0),
+                             memory_space=_VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, T, N, lane), lambda b, h: (b, 0, 0, h), memory_space=_VMEM
+            ),
+            interpret=False,
+        )(qkv, qkv, qkv, seg)
     if _TEMPORAL_FLASH and not interpret:
         kern = functools.partial(
             _temporal_kernel_flash, scale=float(scale), hd=hd,
