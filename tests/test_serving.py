@@ -1,0 +1,80 @@
+"""RetrievalIndex serving path: build gallery, query, rank, persist."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from alpro_tpu.data.tokenization import WordPieceTokenizer, make_test_vocab
+from alpro_tpu.models import BertConfig, TimeSformerConfig, build_retrieval_model
+from alpro_tpu.serving import RetrievalIndex
+
+
+@pytest.fixture(scope="module")
+def small_index():
+    vis = TimeSformerConfig(
+        img_size=32, patch_size=16, num_frames=2, embed_dim=16, depth=2,
+        num_heads=2, drop_path_rate=0.0,
+    )
+    bert = BertConfig(
+        vocab_size=100, hidden_size=16, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=32, fusion_layer=1,
+    )
+    model = build_retrieval_model(bert, vis, img_size=32, num_frm=2)
+    rng = np.random.RandomState(0)
+    tok = WordPieceTokenizer(make_test_vocab())
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 2, 32, 32, 3), jnp.float32),
+        jnp.zeros((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32),
+    )
+    idx = RetrievalIndex(model, params, tok, max_txt_len=8, topk=3)
+    clips = rng.randint(0, 255, (4, 2, 32, 32, 3), np.uint8)
+    idx.add_videos(clips[:2], ids=["v0", "v1"])
+    idx.add_videos(clips[2:], ids=["v2", "v3"])  # incremental add
+    return idx, clips
+
+
+def test_query_ranks_by_vtm_prob(small_index):
+    idx, _ = small_index
+    res = idx.query("a dog runs")
+    assert len(res) == 3  # topk
+    ids, probs, sims = zip(*res)
+    assert set(ids) <= {"v0", "v1", "v2", "v3"}
+    assert list(probs) == sorted(probs, reverse=True)
+    assert all(0.0 <= p <= 1.0 for p in probs)
+
+
+def test_query_topk_override_and_determinism(small_index):
+    idx, _ = small_index
+    r1 = idx.query("the cat jumps", topk=4)
+    r2 = idx.query("the cat jumps", topk=4)
+    assert r1 == r2
+    assert len(r1) == 4
+
+
+def test_candidates_are_vtc_topk(small_index):
+    """The reranked set must equal the top-k of the VTC similarities."""
+    idx, _ = small_index
+    feats = np.concatenate(idx._feat_chunks, axis=0)
+    ids_j, mask_j = idx._tokenize("a person is playing")
+    _, tfeat = idx._encode_text(idx.params, {
+        "text_input_ids": ids_j, "text_input_mask": mask_j,
+    })
+    sims = np.asarray(tfeat)[0] @ feats.T
+    want = {idx.ids[i] for i in np.argsort(-sims)[:3]}
+    got = {vid for vid, _, _ in idx.query("a person is playing")}
+    assert got == want
+
+
+def test_save_load_round_trip(small_index, tmp_path):
+    idx, _ = small_index
+    path = str(tmp_path / "bank.npz")
+    idx.save(path)
+
+    fresh = RetrievalIndex(
+        idx.model, idx.params, idx.tokenizer, max_txt_len=8, topk=3
+    )
+    fresh.load(path)
+    assert fresh.ids == idx.ids
+    assert fresh.query("the red ball") == idx.query("the red ball")
