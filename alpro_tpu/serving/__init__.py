@@ -1,3 +1,4 @@
+from alpro_tpu.serving.qa import VideoQAPredictor
 from alpro_tpu.serving.retrieval import RetrievalIndex
 
-__all__ = ["RetrievalIndex"]
+__all__ = ["RetrievalIndex", "VideoQAPredictor"]

@@ -78,3 +78,46 @@ def test_save_load_round_trip(small_index, tmp_path):
     fresh.load(path)
     assert fresh.ids == idx.ids
     assert fresh.query("the red ball") == idx.query("the red ball")
+
+
+def test_qa_predictor_multiclip():
+    from alpro_tpu.models import build_qa_model
+    from alpro_tpu.serving.qa import VideoQAPredictor
+
+    vis = TimeSformerConfig(
+        img_size=32, patch_size=16, num_frames=2, embed_dim=16, depth=2,
+        num_heads=2, drop_path_rate=0.0,
+    )
+    bert = BertConfig(
+        vocab_size=100, hidden_size=16, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=32, fusion_layer=1,
+    )
+    model = build_qa_model(bert, vis, num_labels=5, img_size=32, num_frm=2)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 2, 32, 32, 3), jnp.float32),
+        jnp.zeros((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32),
+    )
+    ans2label = {"cooking": 0, "running": 1, "eating": 2, "red": 3, "dog": 4}
+    qa = VideoQAPredictor(
+        model, params, WordPieceTokenizer(make_test_vocab()), ans2label,
+        max_txt_len=8,
+    )
+    clips = np.random.RandomState(1).randint(0, 255, (3, 2, 32, 32, 3), np.uint8)
+    res = qa.predict(clips, "what is the man doing", topk=3)
+    assert len(res) == 3
+    answers, probs = zip(*res)
+    assert set(answers) <= set(ans2label)
+    assert list(probs) == sorted(probs, reverse=True)
+    # pooled prediction must equal hand-pooling the per-clip logits
+    import alpro_tpu.evals.qa as qa_evals
+
+    logits = np.asarray(qa._infer(params, {
+        "visual_inputs": jnp.asarray(clips),
+        "text_input_ids": jnp.asarray(qa.tokenizer(
+            ["what is the man doing"] * 3, max_length=8)["input_ids"]),
+        "text_input_mask": jnp.asarray(qa.tokenizer(
+            ["what is the man doing"] * 3, max_length=8)["attention_mask"]),
+    }))
+    want = int(np.argmax(qa_evals.pool_clip_logits(logits[:, None, :])[0]))
+    assert res[0][0] == qa.label2ans[want]
