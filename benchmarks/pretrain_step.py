@@ -23,6 +23,11 @@ def measure_pretrain_step(batch=8, iters=6, num_frm=4, img_size=224,
     import jax
     import jax.numpy as jnp
 
+    try:  # rbg PRNG: cheaper dropout mask generation (docs/PERF.md)
+        jax.config.update("jax_default_prng_impl", "rbg")
+    except Exception:
+        pass
+
     from alpro_tpu.models import (
         BertConfig,
         TimeSformerConfig,

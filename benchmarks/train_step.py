@@ -23,6 +23,11 @@ def measure_train_step(batch=8, iters=8, num_frm=8, img_size=224, depth=12,
     import jax
     import jax.numpy as jnp
 
+    try:  # rbg PRNG: cheaper dropout mask generation (docs/PERF.md)
+        jax.config.update("jax_default_prng_impl", "rbg")
+    except Exception:
+        pass
+
     from alpro_tpu.models import BertConfig, TimeSformerConfig, build_retrieval_model
     from alpro_tpu.train import TrainState, build_optimizer, get_lr_schedule
     from alpro_tpu.train.step import make_retrieval_train_step
