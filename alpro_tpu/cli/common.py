@@ -42,12 +42,21 @@ def setup_environment(cfg: Config):
     # (profiled; rbg: 35.6 → 38.1 clips/s, docs/PERF.md). Dropout draws
     # change — bit-exact RNG parity is not a reference behaviour anyone
     # depends on. Opt out with {"prng_impl": "threefry2x32"}.
-    try:
-        jax.config.update(
-            "jax_default_prng_impl", cfg.get("prng_impl", "rbg")
+    prng_impl = cfg.get("prng_impl", "rbg")
+    if prng_impl not in ("rbg", "threefry2x32", "unsafe_rbg"):
+        raise ValueError(
+            f"prng_impl must be one of rbg/threefry2x32/unsafe_rbg, got "
+            f"{prng_impl!r}"
         )
-    except Exception:
-        pass  # already-initialized backends on some versions
+    try:
+        jax.config.update("jax_default_prng_impl", prng_impl)
+    except Exception as e:  # already-initialized backends on some versions
+        import logging
+
+        logging.getLogger("alpro").warning(
+            "could not set prng_impl=%s (%r); continuing with the default",
+            prng_impl, e,
+        )
     set_random_seed(cfg.get("seed", 42))
     try:
         nonzero_host = jax.process_index() != 0
@@ -233,9 +242,17 @@ def setup_training(cfg: Config, model: AlproModel, make_step: Callable,
     # accumulation boundaries
     num_train_steps = int(math.ceil(cfg.num_train_epochs * steps_per_epoch))
     num_opt_steps = int(math.ceil(num_train_steps / accum))
+    if cfg.get("transformer_lr_mul", 1.0) != 1.0:
+        # parsed for flag compatibility; the reference parses it too but no
+        # code consumes it (`config.py:151`, grep: zero uses) — a single
+        # param group gets `learning_rate` directly
+        LOGGER.warning("transformer_lr_mul is accepted but has no effect "
+                       "(unused in the reference as well)")
     sched = get_lr_schedule(
         cfg.get("decay", "linear"), cfg.learning_rate, num_opt_steps,
         warmup_ratio=cfg.get("warmup_ratio", 0.1),
+        decay_epochs=cfg.get("step_decay_epochs") or (),
+        steps_per_epoch=max(1, int(steps_per_epoch // accum)),
     )
     tx = build_optimizer(
         sched,

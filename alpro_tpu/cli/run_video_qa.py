@@ -47,6 +47,8 @@ def _mk_datasets(cfg: Config, tokenizer, split="train"):
     return ds
 
 
+# keyed by id(model) with the model pinned in the value: the pin keeps the
+# id from being recycled after GC, and the identity check guards regardless
 _INFER_CACHE = {}
 
 
@@ -54,9 +56,10 @@ def inference_qa(model, params, ds, tokenizer, cfg: Config) -> List[dict]:
     """Multi-clip eval: per-clip logits pooled with mean/max/lse
     (`run_video_qa.py:251-279`)."""
     key = id(model)
-    if key not in _INFER_CACHE:
-        _INFER_CACHE[key] = jax.jit(make_qa_inference_fn(model))
-    infer = _INFER_CACHE[key]
+    cached = _INFER_CACHE.get(key)
+    if cached is None or cached[0] is not model:
+        _INFER_CACHE[key] = (model, jax.jit(make_qa_inference_fn(model)))
+    infer = _INFER_CACHE[key][1]
     col = QACollator(tokenizer, cfg.max_txt_len)
     try:
         proc, nproc = jax.process_index(), jax.process_count()

@@ -216,10 +216,26 @@ class RetrievalEvalDataset(VideoDatasetBase):
         return len(self.video_ids)
 
     def get_video(self, index: int) -> Dict:
+        """Eval decode with fault tolerance: retry the same video, then fall
+        back to a zero clip. Unlike the train path's random-resample idiom
+        (`dataset_video_retrieval.py:51-67`) eval must keep the id→score
+        protocol intact, so the video id is never substituted — one corrupt
+        video scores as blank instead of killing the whole 1000-video run."""
         vid_id = self.video_ids[index]
-        clip = self._load_clip(vid_id)
+        clip = None
+        for _ in range(3):
+            clip = self._load_clip(vid_id)
+            if clip is not None:
+                break
         if clip is None:
-            raise RuntimeError(f"failed to decode eval video {vid_id}")
+            import logging
+
+            logging.getLogger("alpro").warning(
+                "failed to decode eval video %s; scoring a zero clip", vid_id
+            )
+            clip = np.zeros(
+                (self.num_frm, self.crop_size, self.crop_size, 3), np.uint8
+            )
         return {"vid_id": vid_id, "clip": clip}
 
 

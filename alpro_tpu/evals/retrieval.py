@@ -73,6 +73,14 @@ def eval_retrieval(
     t2v = retrieval_metrics_from_matrix(score, t2v_gt)
 
     gt_vid2txt = {v: t for t, v in gt_txt_id2vid_id.items()}
+    # the inversion keeps one caption per video — only valid for 1:1
+    # protocols (MSRVTT-1k, DiDeMo paragraph retrieval). Multi-caption v2t
+    # would need best-rank-over-captions; fail loudly instead of silently
+    # scoring against an arbitrary caption.
+    assert len(gt_vid2txt) == len(gt_txt_id2vid_id), (
+        "video2text eval requires a 1:1 text<->video ground truth; got "
+        f"{len(gt_txt_id2vid_id)} captions over {len(gt_vid2txt)} videos"
+    )
     v2t_gt = np.asarray(
         [txt_id2idx[gt_vid2txt[v]] for v in vid_ids], dtype=np.int64
     )

@@ -82,8 +82,9 @@ class TimeSformerConfig:
     # `config_release/*.json` img_pixel_mean/std)
     pixel_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
     pixel_std: tuple = (0.26862954, 0.26130258, 0.27577711)
-    # fuse normalize+patchify+embed into one Pallas kernel for uint8 inputs:
-    # 'auto' (on TPU), 'on', 'off'
+    # fuse normalize+patchify+embed into one Pallas kernel for uint8 inputs.
+    # Only 'on' enables it; 'auto' currently resolves to the XLA path (the
+    # fused kernel crashes the compiler at some shapes — docs/PARITY.md).
     fused_patchify: str = "auto"
     # rematerialize each block on the backward pass (the reference's
     # per-block CheckpointFunction, `src/utils/grad_ckpt.py:23-42` used at

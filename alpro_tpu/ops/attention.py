@@ -91,9 +91,11 @@ def _xla_attention(
         # bf16 path: fold the scale into q (one cheap pass over the (B,S,H,D)
         # tensor instead of over the tile-padded (S_q, S_k) score buffer) and
         # have the dot emit bf16 directly — the MXU still accumulates fp32
-        # in-register, so this matches the previous dot→fp32→astype(bf16)
-        # rounding while avoiding the fp32 score materialization + repack
-        # copies XLA otherwise inserts (profiled: docs/PERF.md round 2).
+        # in-register, so this is near-identical to the previous
+        # dot→fp32→astype(bf16) rounding (the q*scale product adds one extra
+        # bf16 quantization of q; covered by atol=0.08 vs the fp32 path)
+        # while avoiding the fp32 score materialization + repack copies XLA
+        # otherwise inserts (profiled: docs/PERF.md round 2).
         q = (q * jnp.asarray(scale, jnp.float32)).astype(dtype)
         scores = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.bfloat16

@@ -136,6 +136,12 @@ def _bert_attn_fwd_impl(
     win = _ATTN_LANE if not interpret else D
     if D % win != 0 or win % hd != 0:
         win = _LANE
+    if D % win != 0 or win % hd != 0:
+        # a truncated grid would silently skip the trailing D % win lanes
+        raise ValueError(
+            f"fused BERT attention needs D divisible by a lane window that "
+            f"is a head-dim multiple; got D={D}, head_dim={hd}, window={win}"
+        )
     hpb = win // hd
     nw = D // win
 

@@ -124,6 +124,12 @@ def _spatial_block_fwd_impl(
     hd = D // num_heads
     interpret = jax.default_backend() != "tpu"
     win = _LANE if not interpret else D
+    if D % win != 0 or win % hd != 0:
+        # a truncated grid would silently skip the trailing D % win lanes
+        raise ValueError(
+            f"fused spatial block needs D divisible by the lane window and "
+            f"the window a head-dim multiple; got D={D}, head_dim={hd}, window={win}"
+        )
     hpb = win // hd
     nw = D // win  # windows per q/k/v section
 
@@ -350,6 +356,12 @@ def _temporal_block_fwd_impl(
     hd = D // num_heads
     interpret = jax.default_backend() != "tpu"
     win = _LANE if not interpret else D
+    if D % win != 0 or win % hd != 0:
+        # a truncated grid would silently skip the trailing D % win lanes
+        raise ValueError(
+            f"fused temporal block needs D divisible by the lane window and "
+            f"the window a head-dim multiple; got D={D}, head_dim={hd}, window={win}"
+        )
     hpb = win // hd
     nw = D // win
     Nt = _pick_nt(N) if not interpret else N

@@ -87,6 +87,12 @@ def _spatial_fwd_impl(qkv, num_heads, scale):
     lane = _SPATIAL_LANE if not interpret else hd
     if D % lane != 0 or lane % hd != 0:
         lane = _LANE
+    if D % lane != 0 or lane % hd != 0:
+        # a truncated grid would silently skip the trailing D % lane lanes
+        raise ValueError(
+            f"fused spatial attention needs D divisible by a lane width that "
+            f"is a head-dim multiple; got D={D}, head_dim={hd}, lane={lane}"
+        )
     hpb = lane // hd
     nq = D // lane  # lane-blocks per q/k/v section
 
@@ -282,6 +288,12 @@ def _temporal_fwd_impl(qkv, num_heads, scale):
     lane = (_TEMPORAL_LANE if _TEMPORAL_FLASH else _LANE) if not interpret else hd
     if D % lane != 0 or lane % hd != 0:
         lane = _LANE
+    if D % lane != 0 or lane % hd != 0:
+        # a truncated grid would silently skip the trailing D % lane lanes
+        raise ValueError(
+            f"fused temporal attention needs D divisible by a lane width that "
+            f"is a head-dim multiple; got D={D}, head_dim={hd}, lane={lane}"
+        )
     hpb = lane // hd
     nq = D // lane
     if _TEMPORAL_SEG and not interpret:

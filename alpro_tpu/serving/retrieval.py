@@ -137,6 +137,8 @@ class RetrievalIndex:
 
     def save(self, path: str) -> None:
         """Writes the banks + ids (not the model params) to ``path``."""
+        if not self.ids:
+            raise ValueError("cannot save an empty index: add videos first")
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         npz, idsp = self._paths(path)
         np.savez(

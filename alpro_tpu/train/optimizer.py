@@ -36,12 +36,17 @@ def noam_schedule(step, warmup_step=4000):
 
 
 def multi_step_schedule(n_epoch, milestones: Sequence[int], gamma=0.5):
+    """Reference-exact (`sched.py:8-15`) including its quirk: past the last
+    milestone the multiplier jumps to gamma^(len+1), skipping gamma^len.
+    Traceable: works on python ints and on jnp scalars alike."""
     milestones = sorted(milestones)
-    out = gamma ** (len(milestones) + 1)
-    for i, m in enumerate(milestones):
-        if n_epoch < m:
-            return gamma ** i
-    return out
+    n_passed = sum(
+        (jnp.asarray(n_epoch) >= m).astype(jnp.int32) for m in milestones
+    ) if not isinstance(n_epoch, int) else sum(n_epoch >= m for m in milestones)
+    n = len(milestones)
+    exp = jnp.where(jnp.asarray(n_passed) == n, n + 1, n_passed)
+    out = jnp.asarray(gamma, jnp.float32) ** exp.astype(jnp.float32)
+    return float(out) if isinstance(n_epoch, int) else out
 
 
 def get_lr_schedule(
@@ -50,8 +55,12 @@ def get_lr_schedule(
     num_train_steps: int,
     warmup_ratio: float = 0.1,
     decay_epochs: Sequence[int] = (),
-    multi_step_epoch: int = -1,
+    steps_per_epoch: int = 0,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """`decay='multi_step'` derives the epoch from the step counter exactly
+    like the reference's per-step `n_epoch = batch*global_step/total_examples`
+    recomputation (`run_video_retrieval.py:450-459`), so the schedule stays a
+    pure function of the optimizer step and lives inside jit."""
     warmup_steps = int(warmup_ratio * num_train_steps)
 
     def sched(step):
@@ -63,11 +72,11 @@ def get_lr_schedule(
         elif decay == "constant":
             lr = jnp.asarray(learning_rate, jnp.float32)
         elif decay == "multi_step":
-            assert multi_step_epoch >= 0
-            lr = jnp.asarray(
-                learning_rate * multi_step_schedule(multi_step_epoch, decay_epochs),
-                jnp.float32,
+            assert steps_per_epoch > 0 and decay_epochs, (
+                "multi_step decay needs steps_per_epoch and step_decay_epochs"
             )
+            n_epoch = jnp.floor(step / steps_per_epoch).astype(jnp.int32)
+            lr = learning_rate * multi_step_schedule(n_epoch, decay_epochs)
         else:
             raise ValueError(f"unknown decay {decay!r}")
         # reference safeguard: never emit lr <= 0 (`sched.py:44-46`)

@@ -50,3 +50,23 @@ def test_multi_step():
     assert multi_step_schedule(5, [5, 10]) == 0.5
     assert multi_step_schedule(10, [5, 10]) == 0.5 ** 3
     assert multi_step_schedule(7, [10, 5]) == 0.5  # unsorted input
+
+
+def test_multi_step_schedule_from_steps():
+    # 10 opt-steps per epoch, milestones at epochs 2 and 4: the multiplier
+    # must step down at steps 20 and 40 and hit the reference's gamma^(n+1)
+    # past-the-last-milestone quirk
+    sched = get_lr_schedule(
+        "multi_step", 1e-3, 100, decay_epochs=[2, 4], steps_per_epoch=10
+    )
+    np.testing.assert_allclose(float(sched(0)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(19)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(20)), 0.5e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(39)), 0.5e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(40)), 1e-3 * 0.5 ** 3, rtol=1e-6)
+    # and it must trace under jit (pure function of the step)
+    import jax
+
+    np.testing.assert_allclose(
+        float(jax.jit(sched)(25)), 0.5e-3, rtol=1e-6
+    )
