@@ -183,8 +183,9 @@ def load_inference_params(model: AlproModel, cfg: Config,
                           remove_text_encoder_prefix: bool = False):
     """Inference-time parameter resolution, mirroring the reference
     (`run_video_retrieval.py:773-780`): `--inference_model_step N` loads the
-    run's own `ckpt/model_step_N` (orbax); otherwise `e2e_weights_path`
-    (converted torch checkpoint); otherwise fresh init."""
+    run's own `ckpt/model_step_N` (orbax); otherwise `--inference_model_ckpt`
+    (direct path, golden gates) or `e2e_weights_path` (converted torch
+    checkpoint); otherwise fresh init."""
     from alpro_tpu.models.scan_utils import to_model_layout, to_unrolled_layout
 
     params = init_params(model, cfg)
@@ -198,6 +199,12 @@ def load_inference_params(model: AlproModel, cfg: Config,
         restored = load_params(path, target=target)
         LOGGER.info("loaded inference params from %s", path)
         return to_model_layout(restored, model)
+    ckpt = cfg.get("inference_model_ckpt")
+    if ckpt:
+        if not os.path.exists(ckpt):
+            raise FileNotFoundError(f"inference_model_ckpt not found: {ckpt}")
+        cfg = Config(dict(cfg))
+        cfg["e2e_weights_path"] = ckpt
     return maybe_load_e2e_weights(
         params, cfg, remove_text_encoder_prefix=remove_text_encoder_prefix,
         model=model,

@@ -25,7 +25,18 @@ from alpro_tpu.train.step import make_qa_inference_fn, make_qa_train_step
 
 
 def _mk_datasets(cfg: Config, tokenizer, split="train"):
-    spec = cfg.train_datasets[0] if split == "train" else cfg.val_datasets[0]
+    if split == "train":
+        spec = cfg.train_datasets[0]
+    elif cfg.get("inference_txt_db"):
+        # inference over explicit dbs (reference `run_video_qa.py:570-585`:
+        # inference builds its loader from inference_txt_db/inference_img_db)
+        spec = {
+            "txt": cfg.inference_txt_db,
+            "img": cfg.get("inference_img_db")
+            or (cfg.val_datasets[0]["img"] if cfg.get("val_datasets") else None),
+        }
+    else:
+        spec = cfg.val_datasets[0]
     txt = spec["txt"]
     if isinstance(txt, dict):
         txt = list(txt.values())[0]

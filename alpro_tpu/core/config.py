@@ -150,6 +150,10 @@ def shared_training_args(parser: argparse.ArgumentParser) -> argparse.ArgumentPa
     parser.add_argument("--pin_mem", type=int, default=1)
     parser.add_argument("--do_inference", type=int, default=0)
     parser.add_argument("--inference_model_step", type=str, default="")
+    # direct path to a (possibly torch) checkpoint to run inference with —
+    # the golden-gate entry point; reference expresses this as
+    # e2e_weights_path when not using a run-local step
+    parser.add_argument("--inference_model_ckpt", type=str, default=None)
     parser.add_argument("--inference_split", type=str, default="val")
     parser.add_argument("--inference_txt_db", type=str, default=None)
     parser.add_argument("--inference_img_db", type=str, default=None)

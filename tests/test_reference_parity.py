@@ -231,7 +231,8 @@ def test_timesformer_runtime_spatial_resize_matches_reference():
 # --------------------------------------------------------------------------
 # xbert
 # --------------------------------------------------------------------------
-def _build_ref_bert(ref_xbert, layers=4, fusion=2, dim=64, heads=4, vocab=120):
+def _build_ref_bert(ref_xbert, layers=4, fusion=2, dim=64, heads=4, vocab=120,
+                    max_pos=512):
     from transformers.models.bert.configuration_bert import BertConfig as HFCfg
 
     torch.manual_seed(11)
@@ -239,7 +240,7 @@ def _build_ref_bert(ref_xbert, layers=4, fusion=2, dim=64, heads=4, vocab=120):
         vocab_size=vocab, hidden_size=dim, num_hidden_layers=layers,
         num_attention_heads=heads, intermediate_size=2 * dim,
         fusion_layer=fusion, hidden_dropout_prob=0.0,
-        attention_probs_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, max_position_embeddings=max_pos,
     )
     m = ref_xbert.BertModel(cfg, add_pooling_layer=False)
     m.eval()
