@@ -197,6 +197,56 @@ convert_clip_vit = convert_imagenet_vit
 convert_kinetics_timesformer = convert_timesformer
 
 
+def convert_albef_vit(
+    sd: Dict[str, np.ndarray],
+    prefix: str = "visual_encoder.",
+    num_patches: Optional[int] = None,
+    depth: Optional[int] = None,
+) -> dict:
+    """ALBEF plain-ViT visual encoder → partial TimeSformer tree.
+
+    The reference loads ALBEF checkpoints with a plain non-strict
+    `load_state_dict` (`run_pretrain_contrastive_only.py:155-161`,
+    `load_save.py:73-136` with `strict=not cfg.albef_init`): spatial keys map
+    1:1, every temporal key (`temporal_attn`, `temporal_norm1`,
+    `temporal_fc`, `time_embed`) is simply MISSING and keeps its module
+    init — no spatial→temporal duplication (that rule belongs to the
+    imagenet/CLIP helpers only). This converter therefore emits spatial keys
+    only; merge it over a fresh init.
+    """
+    p = prefix
+    if depth is None:
+        depth = _count_layers(sd, p + "blocks.{}.norm1.weight")
+    pos_embed = sd[p + "pos_embed"]
+    if num_patches is not None and pos_embed.shape[1] != num_patches + 1:
+        pos_embed = resize_spatial_embedding(pos_embed, num_patches)
+    conv_w = sd[p + "patch_embed.proj.weight"]
+    patch_kernel = np.ascontiguousarray(
+        conv_w.transpose(2, 3, 1, 0).reshape(-1, conv_w.shape[0])
+    )
+    out = {
+        "cls_token": sd[p + "cls_token"],
+        "pos_embed": pos_embed,
+        "patch_embed": {
+            "kernel": patch_kernel,
+            "bias": sd[p + "patch_embed.proj.bias"],
+        },
+        "norm": _ln(sd, p + "norm."),
+    }
+    for i in range(depth):
+        bp = f"{p}blocks.{i}."
+        out[f"blocks_{i}"] = {
+            "norm1": _ln(sd, bp + "norm1."),
+            "norm2": _ln(sd, bp + "norm2."),
+            "attn": _convert_vit_attention(sd, bp + "attn."),
+            "mlp": {
+                "fc1": _dense(sd, bp + "mlp.fc1."),
+                "fc2": _dense(sd, bp + "mlp.fc2."),
+            },
+        }
+    return out
+
+
 def convert_bert(
     sd: Dict[str, np.ndarray],
     prefix: str = "text_encoder.bert.",
@@ -250,12 +300,18 @@ def convert_reference_state_dict(
     depth: Optional[int] = None,
     num_bert_layers: Optional[int] = None,
     remove_text_encoder_prefix: bool = False,
+    albef: bool = False,
 ) -> dict:
     """Full ALPRO checkpoint → {'params': ...} tree for AlproModel.
 
     `remove_text_encoder_prefix=True` mirrors the QA finetune load path: the
     source checkpoint stores `text_encoder.bert.*` but the target text encoder
     is unprefixed (`load_save.py:96-101`).
+
+    `albef=True` (or auto-detected: no `visual_encoder.model.` keys but plain
+    `visual_encoder.pos_embed`) handles ALBEF checkpoints — a plain ViT
+    visual tower loaded non-strict, temporal params left at init
+    (`run_pretrain_contrastive_only.py:155-161` `strict=not cfg.albef_init`).
     """
     sd = dict(sd)
     text_prefix = "text_encoder.bert."
@@ -266,11 +322,20 @@ def convert_reference_state_dict(
             k.startswith("text_encoder.bert.") for k in sd
         ) else "text_encoder."
 
-    params: dict = {
-        "visual_encoder": convert_timesformer(
+    if not albef and "visual_encoder.model.pos_embed" not in sd and \
+            "visual_encoder.pos_embed" in sd:
+        albef = True
+    if albef:
+        visual = convert_albef_vit(
+            sd, "visual_encoder.", num_patches=num_patches, depth=depth
+        )
+    else:
+        visual = convert_timesformer(
             sd, "visual_encoder.model.",
             num_patches=num_patches, num_frames=num_frames, depth=depth,
-        ),
+        )
+    params: dict = {
+        "visual_encoder": visual,
         "text_encoder": convert_bert(sd, text_prefix, num_bert_layers),
         "vision_proj": _dense(sd, "vision_proj."),
         "text_proj": _dense(sd, "text_proj."),
@@ -295,6 +360,7 @@ def load_reference_checkpoint(
     num_patches: Optional[int] = None,
     num_frames: Optional[int] = None,
     remove_text_encoder_prefix: bool = False,
+    albef: bool = False,
 ) -> Tuple[dict, Dict[str, np.ndarray]]:
     """Load a reference `.pt` file (torch CPU pickle) and convert.
 
@@ -318,6 +384,7 @@ def load_reference_checkpoint(
         num_patches=num_patches,
         num_frames=num_frames,
         remove_text_encoder_prefix=remove_text_encoder_prefix,
+        albef=albef,
     )
     LOGGER.info(
         "Converted checkpoint %s (%d tensors, %d prompter tensors)",

@@ -169,7 +169,80 @@ def maybe_load_e2e_weights(params, cfg: Config, remove_text_encoder_prefix=False
     loaded, _prompter_sd = load_reference_checkpoint(
         path, num_patches=num_patches, num_frames=cfg.num_frm,
         remove_text_encoder_prefix=remove_text_encoder_prefix,
+        # ALBEF init: plain-ViT visual tower, temporal params keep their init
+        # (`run_pretrain_contrastive_only.py:155-161` strict=not albef_init)
+        albef=bool(cfg.get("albef_init", False)),
     )
+    if model is not None:
+        from alpro_tpu.models.scan_utils import to_model_layout, to_unrolled_layout
+
+        return to_model_layout(
+            merge_params(to_unrolled_layout(params, model), loaded), model
+        )
+    return merge_params(params, loaded)
+
+
+def maybe_load_visual_weights(params, cfg: Config,
+                              model: Optional[AlproModel] = None):
+    """Visual-tower-only init when no e2e checkpoint is given — the
+    reference's `load_separate_ckpt(visual_weights_path=...)` family
+    (`run_pretrain_sparse.py:164-169`, `run_video_retrieval.py:229-233`,
+    `alpro_models.py:45-48` → `vit.py:515-533` dispatch →
+    `helpers.py:191-352`).
+
+    Dispatch (reference: by checkpoint name, here also by key shape so it
+    works on any local file):
+      * 'CLIP_ViT' in path, or plain-ViT keys (no temporal_attn)
+        → convert_imagenet_vit / convert_clip_vit: spatial attn duplicated
+          into temporal attn, norm1 → temporal_norm1, temporal_fc zeroed for
+          blocks > 0 (block 0 keeps its init — `vit.py:289-298`)
+      * native TimeSformer keys (temporal_attn present)
+        → convert_kinetics_timesformer: direct map + pos/time-embed resize
+    """
+    path = cfg.get("visual_weights_path")
+    if not path:
+        return params
+    if not os.path.exists(path):
+        # the reference resolves the magic name 'vit_base_patch16_224' by
+        # downloading from the timm model zoo (`helpers.py:102-113`); in
+        # offline/sandboxed runs only local files are supported
+        LOGGER.warning(
+            "visual_weights_path %s not found; visual tower keeps init", path
+        )
+        return params
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    for wrap in ("model", "state_dict", "module"):
+        if isinstance(raw, dict) and wrap in raw and isinstance(raw[wrap], dict):
+            raw = raw[wrap]
+    sd = {
+        k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+        for k, v in raw.items()
+    }
+    # strip a leading 'model.'/'module.' (the reference TimeSformer wrapper
+    # nests the VisionTransformer under .model)
+    for pfx in ("model.", "module."):
+        if any(k.startswith(pfx + "patch_embed") for k in sd):
+            sd = {k[len(pfx):] if k.startswith(pfx) else k: v for k, v in sd.items()}
+
+    from alpro_tpu.checkpoint.torch_convert import (
+        convert_imagenet_vit,
+        convert_kinetics_timesformer,
+    )
+
+    num_patches = (cfg.crop_img_size // 16) ** 2
+    native = any("temporal_attn" in k for k in sd)
+    if native and "CLIP_ViT" not in os.path.basename(path):
+        visual = convert_kinetics_timesformer(
+            sd, prefix="", num_patches=num_patches, num_frames=cfg.num_frm
+        )
+        family = "kinetics-timesformer"
+    else:
+        visual = convert_imagenet_vit(sd, prefix="", num_patches=num_patches)
+        family = "clip-vit" if "CLIP_ViT" in os.path.basename(path) else "imagenet-vit"
+    LOGGER.info("visual init from %s (%s family)", path, family)
+    loaded = {"params": {"visual_encoder": visual}}
     if model is not None:
         from alpro_tpu.models.scan_utils import to_model_layout, to_unrolled_layout
 
@@ -271,11 +344,17 @@ def setup_training(cfg: Config, model: AlproModel, make_step: Callable,
     )
 
     params = init_params(model, cfg, seed=cfg.get("seed", 42))
-    params = maybe_load_e2e_weights(
-        params, cfg,
-        remove_text_encoder_prefix=bool(cfg.get("remove_text_encoder_prefix", False)),
-        model=model,
-    )
+    if cfg.get("e2e_weights_path"):
+        params = maybe_load_e2e_weights(
+            params, cfg,
+            remove_text_encoder_prefix=bool(cfg.get("remove_text_encoder_prefix", False)),
+            model=model,
+        )
+    else:
+        # reference precedence: e2e checkpoint wins; otherwise the visual
+        # tower may init from imagenet/CLIP/Kinetics weights
+        # (`run_pretrain_sparse.py:155-169`)
+        params = maybe_load_visual_weights(params, cfg, model=model)
 
     n_dev = len(jax.devices())
     shape = cfg.get("mesh_shape")
