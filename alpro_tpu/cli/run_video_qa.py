@@ -43,7 +43,9 @@ def _mk_datasets(cfg: Config, tokenizer, split="train"):
     rows = load_datalist(txt)
     if split == "train" and cfg.get("data_ratio", 1.0) < 1.0:
         rows = rows[: max(1, int(len(rows) * cfg.data_ratio))]
-    ans2label = load_json(cfg.ans2label_path)
+    task = cfg.get("task", "msrvtt_qa")
+    # multi-choice tasks carry their answers as option indices — no vocab
+    ans2label = {} if _is_multi_choice(cfg) else load_json(cfg.ans2label_path)
     n_clips = cfg.get("train_n_clips", 1) if split == "train" else cfg.get("inference_n_clips", 1)
     ds = VideoQADataset(
         rows, spec["img"], ans2label,
@@ -52,10 +54,36 @@ def _mk_datasets(cfg: Config, tokenizer, split="train"):
         if split == "train" else "uniform",
         resize_size=cfg.resize_size, crop_size=cfg.crop_img_size,
         is_train=(split == "train"), seed=cfg.get("seed", 42),
-        return_label=True,
+        return_label=True, task_type=task,
     )
-    ds.task_type = cfg.get("task", "msrvtt_qa")
     return ds
+
+
+def _is_multi_choice(cfg: Config) -> bool:
+    from alpro_tpu.data.datasets import MULTI_CHOICE_QA
+
+    return cfg.get("task", "msrvtt_qa") in MULTI_CHOICE_QA
+
+
+def _qa_collator(cfg: Config, tokenizer) -> QACollator:
+    return QACollator(
+        tokenizer, cfg.max_txt_len,
+        task_type=cfg.get("task", "msrvtt_qa"),
+        n_options=int(cfg.get("n_options", 5)),
+    )
+
+
+def _effective_n_options(cfg: Config) -> int:
+    """1 for open-ended; n_options for action/transition. Multi-choice uses a
+    single-logit classifier regrouped to (B, n_options) — force num_labels=1
+    (the TGIF-QA protocol; see `train/step.py::_qa_logits`)."""
+    if not _is_multi_choice(cfg):
+        return 1
+    if int(cfg.get("num_labels", 1)) != 1:
+        LOGGER.info("multi-choice task %s: forcing num_labels=1 "
+                    "(per-option scalar logits)", cfg.get("task"))
+        cfg["num_labels"] = 1
+    return int(cfg.get("n_options", 5))
 
 
 # keyed by id(model) with the model pinned in the value: the pin keeps the
@@ -66,12 +94,15 @@ _INFER_CACHE = {}
 def inference_qa(model, params, ds, tokenizer, cfg: Config) -> List[dict]:
     """Multi-clip eval: per-clip logits pooled with mean/max/lse
     (`run_video_qa.py:251-279`)."""
-    key = id(model)
+    n_options = _effective_n_options(cfg)
+    key = (id(model), n_options)
     cached = _INFER_CACHE.get(key)
     if cached is None or cached[0] is not model:
-        _INFER_CACHE[key] = (model, jax.jit(make_qa_inference_fn(model)))
+        _INFER_CACHE[key] = (
+            model, jax.jit(make_qa_inference_fn(model, n_options=n_options))
+        )
     infer = _INFER_CACHE[key][1]
-    col = QACollator(tokenizer, cfg.max_txt_len)
+    col = _qa_collator(cfg, tokenizer)
     try:
         proc, nproc = jax.process_index(), jax.process_count()
     except RuntimeError:
@@ -127,10 +158,11 @@ def start_training(cfg: Config):
     from alpro_tpu.data.tokenization import build_tokenizer
 
     tokenizer = build_tokenizer(cfg.tokenizer_dir)
+    n_options = _effective_n_options(cfg)  # may force num_labels=1 (mc)
     model = common.build_model_from_cfg(cfg, "qa")
     train_ds = _mk_datasets(cfg, tokenizer, "train")
     val_ds = _mk_datasets(cfg, tokenizer, "val")
-    col = QACollator(tokenizer, cfg.max_txt_len)
+    col = _qa_collator(cfg, tokenizer)
     train_loader = BatchLoader(
         train_ds, col, cfg.train_batch_size, seed=cfg.get("seed", 42),
         num_workers=int(cfg.get("n_workers", 4)),
@@ -140,7 +172,9 @@ def start_training(cfg: Config):
     # stripped (`run_video_qa.py:189-195`)
     cfg["remove_text_encoder_prefix"] = True
     mesh, step_fn, state, num_steps, restorer = common.setup_training(
-        cfg, model, make_qa_train_step, steps_per_epoch=len(train_loader),
+        cfg, model,
+        lambda m, tx: make_qa_train_step(m, tx, n_options=n_options),
+        steps_per_epoch=len(train_loader),
     )
     LOGGER.info("training qa for %d steps", num_steps)
     state = common.run_train_loop(
@@ -165,6 +199,7 @@ def start_inference(cfg: Config):
     from alpro_tpu.data.tokenization import build_tokenizer
 
     tokenizer = build_tokenizer(cfg.tokenizer_dir)
+    _effective_n_options(cfg)  # may force num_labels=1 before the model builds
     model = common.build_model_from_cfg(cfg, "qa")
     params = common.load_inference_params(model, cfg)
     ds = _mk_datasets(cfg, tokenizer, "val")

@@ -186,6 +186,9 @@ def get_video_qa_args(argv=None) -> Config:
     parser.add_argument("--train_datasets", type=json.loads, default=None)
     parser.add_argument("--val_datasets", type=json.loads, default=None)
     parser.add_argument("--task", type=str, default="msrvtt_qa")
+    # multi-choice (action/transition) option count — reference
+    # VideoQACollator n_options (`dataset_video_qa.py:159-163`)
+    parser.add_argument("--n_options", type=int, default=5)
     parser.add_argument("--ans2label_path", type=str, default=None)
     parser.add_argument("--num_labels", type=int, default=1500)
     parser.add_argument("--classifier", type=str, default="mlp")

@@ -239,15 +239,23 @@ class RetrievalEvalDataset(VideoDatasetBase):
         return {"vid_id": vid_id, "clip": clip}
 
 
+MULTI_CHOICE_QA = ("action", "transition")
+
+
 class VideoQADataset(VideoDatasetBase):
-    """Rows: {question_id, question, answer, answer_type, vid_id}."""
+    """Open-ended rows: {question_id, question, answer, answer_type, vid_id};
+    multi-choice (TGIF action/transition, `dataset_video_qa.py:13-31,89-100`)
+    rows additionally carry `options` (list of n_options strings) and an
+    integer `answer` option index."""
 
     def __init__(self, datalist, vid_dir, ans2label: Dict[str, int],
-                 return_label: bool = True, **kw):
+                 return_label: bool = True, task_type: str = "msrvtt_qa",
+                 **kw):
         super().__init__(datalist, vid_dir, **kw)
         self.ans2label = ans2label
         self.label2ans = {v: k for k, v in ans2label.items()}
         self.return_label = return_label
+        self.task_type = task_type
         self.qid2data = {
             d["question_id"]: d for d in datalist
         }
@@ -259,7 +267,11 @@ class VideoQADataset(VideoDatasetBase):
             "question": ex["question"],
             "clip": ex["clip"],
         }
-        if self.return_label:
+        if self.task_type in MULTI_CHOICE_QA:
+            out["options"] = list(ex["options"])
+            if self.return_label:
+                out["label"] = int(ex["answer"])
+        elif self.return_label:
             out["label"] = self.ans2label.get(ex["answer"], 0)
         return out
 
@@ -389,15 +401,34 @@ class RetrievalCollator:
 
 
 class QACollator:
-    def __init__(self, tokenizer, max_txt_len: int = 40, return_label=True):
+    """Open-ended: one text row per question. Multi-choice (action/
+    transition): question and each option concatenate into one sequence —
+    (B·n_options) text rows against B videos, logits regrouped downstream
+    (`dataset_video_qa.py:165-200` VideoQACollator; note the reference's own
+    model never consumed its `n_examples_list`, so its multi-choice path was
+    inoperative — here the video embeddings are repeated per option in the
+    step function, `train/step.py`)."""
+
+    def __init__(self, tokenizer, max_txt_len: int = 40, return_label=True,
+                 task_type: str = "msrvtt_qa", n_options: int = 5):
         self.tokenizer = tokenizer
         self.max_txt_len = max_txt_len
         self.return_label = return_label
+        self.task_type = task_type
+        self.n_options = n_options
 
     def __call__(self, examples: Sequence[dict]) -> Dict[str, np.ndarray]:
-        enc = self.tokenizer(
-            [e["question"] for e in examples], max_length=self.max_txt_len,
-        )
+        if self.task_type in MULTI_CHOICE_QA:
+            texts = []
+            for e in examples:
+                opts = e["options"]
+                assert len(opts) == self.n_options, (
+                    f"expected {self.n_options} options, got {len(opts)}"
+                )
+                texts.extend(e["question"] + " " + o for o in opts)
+        else:
+            texts = [e["question"] for e in examples]
+        enc = self.tokenizer(texts, max_length=self.max_txt_len)
         out = {
             "visual_inputs": np.stack([e["clip"] for e in examples]),
             "text_input_ids": np.asarray(enc["input_ids"], np.int32),

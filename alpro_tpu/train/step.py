@@ -276,9 +276,11 @@ def make_retrieval_inference_fn(model: AlproModel) -> Callable:
 # --------------------------------------------------------------------------
 # QA classification
 # --------------------------------------------------------------------------
-def make_qa_train_step(model: AlproModel, tx: optax.GradientTransformation) -> Callable:
+def make_qa_train_step(model: AlproModel, tx: optax.GradientTransformation,
+                       n_options: int = 1) -> Callable:
     def loss_fn(params, batch, rng):
-        logits = _qa_logits(model, params, batch, rng, train=True)
+        logits = _qa_logits(model, params, batch, rng, train=True,
+                            n_options=n_options)
         labels = batch["labels"]
         logp = jax.nn.log_softmax(logits, axis=-1)
         loss = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
@@ -295,7 +297,15 @@ def make_qa_train_step(model: AlproModel, tx: optax.GradientTransformation) -> C
     return step
 
 
-def _qa_logits(model, params, batch, rng, train: bool):
+def _qa_logits(model, params, batch, rng, train: bool, n_options: int = 1):
+    """`n_options > 1` = multi-choice (TGIF action/transition): text rows are
+    (B·n_options) Q+option sequences against B videos; the video tower runs
+    ONCE per video and its embeddings repeat per option before fusion, then
+    the per-option scalar logits regroup to (B, n_options). The reference's
+    own multi-choice path was inoperative (`dataset_video_qa.py:165-200`
+    builds the rows but `n_examples_list` is never consumed by
+    `AlproForSequenceClassification`); this is the working TGIF-QA protocol
+    (ClipBERT lineage) implemented jit-natively."""
     det = not train
     rngs = _train_rngs(jax.random.fold_in(rng, 0)) if train else None
     video_embeds = model.apply(
@@ -306,17 +316,26 @@ def _qa_logits(model, params, batch, rng, train: bool):
         params, batch["text_input_ids"], batch["text_input_mask"], det,
         method=model.embed_text, rngs=rngs,
     )
+    if n_options > 1:
+        # rows are question-major: [q0·opt0..q0·optK, q1·opt0..] — repeat
+        # (not tile) aligns each video with its K option rows
+        video_embeds = jnp.repeat(video_embeds, n_options, axis=0)
     rngs = _train_rngs(jax.random.fold_in(rng, 2)) if train else None
     fusion = model.apply(
         params, text_embeds, batch["text_input_mask"], video_embeds, None, det,
         method=model.fuse, rngs=rngs,
     )
-    return model.apply(params, fusion[:, 0, :], method=model.classify)
+    logits = model.apply(params, fusion[:, 0, :], method=model.classify)
+    if n_options > 1:
+        # num_labels == 1 classifier → one score per (question, option) pair
+        logits = logits.reshape(-1, n_options)
+    return logits
 
 
-def make_qa_inference_fn(model: AlproModel) -> Callable:
+def make_qa_inference_fn(model: AlproModel, n_options: int = 1) -> Callable:
     def infer(params, batch):
-        return _qa_logits(model, params, batch, jax.random.PRNGKey(0), train=False)
+        return _qa_logits(model, params, batch, jax.random.PRNGKey(0),
+                          train=False, n_options=n_options)
 
     return infer
 

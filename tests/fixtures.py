@@ -75,6 +75,37 @@ def write_qa_dataset(root, n=8, t=4, h=64, w=64, seed=0):
     return ann, os.path.join(root, "videos"), rows, ans2label
 
 
+def write_multichoice_qa_dataset(root, n=8, t=4, h=64, w=64, seed=0,
+                                 n_options=3):
+    """TGIF action/transition-style rows: options list + int answer index."""
+    os.makedirs(os.path.join(root, "videos"), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    opts_pool = ["the dog runs", "the cat jumps", "a man is playing",
+                 "the woman runs", "a red ball"]
+    rows = []
+    for i in range(n):
+        vid = f"mcvid{i:03d}"
+        np.save(
+            os.path.join(root, "videos", f"{vid}.npy"),
+            make_clip(rng, t=t, h=h, w=w, label=i),
+        )
+        opts = [opts_pool[(i + j) % len(opts_pool)] for j in range(n_options)]
+        rows.append(
+            {
+                "question_id": i,
+                "question": "what is happening",
+                "options": opts,
+                "answer": i % n_options,
+                "vid_id": vid,
+            }
+        )
+    ann = os.path.join(root, "mc_qa.jsonl")
+    with open(ann, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return ann, os.path.join(root, "videos"), rows
+
+
 def make_tokenizer():
     return WordPieceTokenizer(make_test_vocab())
 

@@ -135,6 +135,55 @@ def test_qa_train_and_inference(tmp_path):
     assert "overall_acc" in metrics and "what_acc" in metrics
 
 
+def test_multichoice_qa_train_and_inference(tmp_path):
+    """TGIF action/transition protocol: Q+option rows, per-option scalar
+    logits regrouped to (B, n_options), accuracy = argmax-over-options vs the
+    integer answer index (`dataset_video_qa.py:156-200`; working protocol —
+    the reference's own collator built the rows but its model never consumed
+    them)."""
+    from fixtures import write_multichoice_qa_dataset
+
+    root = str(tmp_path)
+    bm, vm, vocab = _write_model_configs(root)
+    ann, vid_dir, rows = write_multichoice_qa_dataset(
+        root, n=6, t=2, h=48, w=48, n_options=3
+    )
+
+    cfg = _base_cfg(root, bm, vm, vocab)
+    cfg.train_datasets = [{"name": "syn_mc", "txt": ann, "img": vid_dir}]
+    cfg.val_datasets = [{"name": "syn_mc", "txt": ann, "img": vid_dir}]
+    cfg.task = "action"
+    cfg.n_options = 3
+    cfg.num_labels = 1500  # CLI must force this to 1 for multi-choice
+    cfg.cls_hidden_scale = 2
+    cfg.score_agg_func = "mean"
+    cfg.inference_n_clips = 1
+    cfg.train_n_clips = 1
+    cfg.e2e_weights_path = None
+    cfg.train_batch_size = 3
+    cfg.val_batch_size = 3
+    cfg.inference_batch_size = 3
+
+    from alpro_tpu.cli.run_video_qa import start_inference, start_training
+
+    state = start_training(cfg)
+    assert int(np.asarray(state.step)) >= 2
+    assert cfg.num_labels == 1
+
+    cfg2 = Config(dict(cfg))
+    metrics = start_inference(cfg2)
+    assert 0.0 <= metrics["overall_acc"] <= 1.0
+    # results carry option indices in [0, n_options)
+    with open(os.path.join(root, "out", "qa_results.json")) as f:
+        results = json.load(f)["results"]
+    assert len(results) == len(rows)
+    assert all(0 <= r["answer"] < 3 for r in results)
+    # accuracy recomputed per reference semantics (int compare)
+    gt = {r["question_id"]: r["answer"] for r in rows}
+    acc = np.mean([gt[r["question_id"]] == r["answer"] for r in results])
+    np.testing.assert_allclose(metrics["overall_acc"], acc, atol=1e-6)
+
+
 def test_pretrain_all_objectives(tmp_path):
     root = str(tmp_path)
     bm, vm, vocab = _write_model_configs(root)
