@@ -133,6 +133,7 @@ class VideoDatasetBase:
         max_retries: int = 5,
         seed: int = 0,
         backend=None,
+        fps: float = -1,
     ):
         self.datalist = datalist
         self.vid_dir = vid_dir
@@ -144,17 +145,32 @@ class VideoDatasetBase:
         self.max_retries = max_retries
         self.rng = ThreadSafeRng(seed)  # per-thread under BatchLoader workers
         self.backend = backend
+        self.fps = fps  # used only for timestamp-windowed rows
 
     def __len__(self) -> int:
         return len(self.datalist)
 
-    def _load_clip(self, vid_id: str) -> Optional[np.ndarray]:
+    @staticmethod
+    def _row_window(item: Optional[dict]) -> tuple:
+        """Per-row decode window: rows may carry `ts: [start, end]` (seconds,
+        DiDeMo-style moments) or explicit `start_time`/`end_time` fields —
+        the reference's windowed decode inputs (`dataset_base.py:137-152`)."""
+        if not item:
+            return None, None
+        ts = item.get("ts")
+        if ts:
+            return float(ts[0]), float(ts[1])
+        return item.get("start_time"), item.get("end_time")
+
+    def _load_clip(self, vid_id: str, item: Optional[dict] = None) -> Optional[np.ndarray]:
         path = _find_video(self.vid_dir, vid_id)
         if path is None:
             return None
         strategy = self.frm_sampling_strategy if self.is_train else "uniform"
+        start_time, end_time = self._row_window(item)
         clip = read_video(
-            path, self.num_frm, strategy, self.rng, backend=self.backend
+            path, self.num_frm, strategy, self.rng, backend=self.backend,
+            start_time=start_time, end_time=end_time, fps=self.fps,
         )
         if clip is None:
             return None
@@ -172,7 +188,7 @@ class VideoDatasetBase:
         """Reference fault-tolerance idiom: decode failure → random resample."""
         for _ in range(self.max_retries):
             item = self.datalist[index]
-            clip = self._load_clip(item["vid_id"])
+            clip = self._load_clip(item["vid_id"], item)
             if clip is not None:
                 return dict(item, clip=clip)
             index = int(self.rng.integers(0, len(self.datalist)))
@@ -210,6 +226,10 @@ class RetrievalEvalDataset(VideoDatasetBase):
                 seen.add(d["vid_id"])
                 vids.append(d["vid_id"])
         self.video_ids = vids
+        # first row per video defines its decode window (ts rows)
+        self._vid_row = {}
+        for d in datalist:
+            self._vid_row.setdefault(d["vid_id"], d)
         self.gt_txt_id2vid_id = {t["txt_id"]: t["vid_id"] for t in self.texts}
 
     def __len__(self) -> int:
@@ -224,7 +244,7 @@ class RetrievalEvalDataset(VideoDatasetBase):
         vid_id = self.video_ids[index]
         clip = None
         for _ in range(3):
-            clip = self._load_clip(vid_id)
+            clip = self._load_clip(vid_id, self._vid_row.get(vid_id))
             if clip is not None:
                 break
         if clip is None:

@@ -90,3 +90,74 @@ def test_ffmpeg_backend_through_dataset(decoder, tmp_path):
     ex = ds[0]
     assert ex["clip"].shape == (4, 32, 32, 3)
     assert ex["clip"].dtype == np.uint8
+
+
+def test_windowed_decode_equals_sliced_full_decode(decoder, test_video):
+    """Timestamp window → [start_idx, end_idx) sampling window
+    (`dataset_base.py:137-152`): a windowed read must return exactly the
+    frames a full decode yields at the windowed indices."""
+    from alpro_tpu.data.sampling import fit_num_frames, sample_frame_indices
+    from alpro_tpu.media import FFmpegVideoBackend, read_video
+
+    info = decoder.probe(test_video)
+    fps = info.fps
+    # window = seconds [1.0, 2.5) of a 30-frame clip
+    start_t, end_t = 1.0, 2.5
+    start_idx = min(int(start_t * fps), info.num_frames)
+    end_idx = min(int(end_t * fps), info.num_frames)
+    assert end_idx - start_idx >= 4
+
+    windowed = read_video(
+        test_video, 4, "uniform", backend=FFmpegVideoBackend(),
+        start_time=start_t, end_time=end_t, fps=fps,
+    )
+    want_idx = fit_num_frames(
+        sample_frame_indices(info.num_frames, 4, "uniform",
+                             start_idx=start_idx, end_idx=end_idx),
+        4,
+    )
+    assert want_idx.min() >= start_idx and want_idx.max() < end_idx
+    full = decoder.decode_frames(test_video, list(range(info.num_frames)))
+    np.testing.assert_array_equal(windowed, full[want_idx])
+
+
+def test_windowed_decode_uses_container_fps_when_unset(decoder, test_video):
+    """fps=-1 → the backend resolves timestamps through the container's own
+    rate (the decord behaviour the reference relies on)."""
+    from alpro_tpu.media import FFmpegVideoBackend, read_video
+
+    info = decoder.probe(test_video)
+    a = read_video(test_video, 4, "uniform", backend=FFmpegVideoBackend(),
+                   start_time=0.5, end_time=2.0)
+    b = read_video(test_video, 4, "uniform", backend=FFmpegVideoBackend(),
+                   start_time=0.5, end_time=2.0, fps=info.fps)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_windowed_decode_npy_and_ts_rows(tmp_path):
+    """ts rows flow through the dataset layer; npy backend honors fps-based
+    windows and an empty window maps to resample/None."""
+    import json
+
+    from alpro_tpu.data.datasets import RetrievalDataset
+    from alpro_tpu.media import read_video
+
+    frames = np.stack([
+        np.full((8, 8, 3), i, np.uint8) for i in range(20)
+    ])
+    p = str(tmp_path / "v0.npy")
+    np.save(p, frames)
+    # window [1s, 2s) at 10 fps = frames [10, 20)
+    clip = read_video(p, 4, "uniform", start_time=1.0, end_time=2.0, fps=10)
+    assert clip is not None and clip.min() >= 10
+    # empty window → None (caller resamples)
+    assert read_video(p, 4, "uniform", start_time=5.0, end_time=6.0, fps=10) is None
+
+    rows = [{"vid_id": "v0", "txt": "a dog runs", "txt_id": 0,
+             "ts": [1.0, 2.0]}]
+    ds = RetrievalDataset(
+        rows, str(tmp_path), num_frm=4, resize_size=8, crop_size=8, fps=10,
+        is_train=False,
+    )
+    ex = ds[0]
+    assert ex["clip"].min() >= 10  # only windowed frames sampled
