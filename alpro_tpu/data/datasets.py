@@ -333,10 +333,19 @@ class PretrainVideoDataset(VideoDatasetBase):
 
 class PretrainImageDataset:
     """CC3M-style (image, caption): image repeated to num_frm frames
-    (`dataset_pretrain_sparse.py:125-193`)."""
+    (`dataset_pretrain_sparse.py:125-193`).
+
+    Train augmentation matches the reference pipeline
+    (`dataset_pretrain_sparse.py:136-140`): RandomResizedCrop(scale=(0.2, 1),
+    bicubic) → RandomHorizontalFlip → RandAugment(N=2, M=7, image op set),
+    applied to the single image BEFORE the repeat to num_frm frames (so all
+    frames stay identical, like the reference's transform-then-repeat)."""
+
+    IMAGE_AUGS = ["Identity", "Brightness", "Sharpness", "ShearX", "ShearY",
+                  "TranslateX", "TranslateY", "Rotate"]
 
     def __init__(self, datalist, img_dir, num_frm=4, resize_size=256,
-                 crop_size=224, seed=0, is_train=True):
+                 crop_size=224, seed=0, is_train=True, use_randaug=True):
         self.datalist = datalist
         self.img_dir = img_dir
         self.num_frm = num_frm
@@ -344,6 +353,13 @@ class PretrainImageDataset:
         self.crop_size = crop_size
         self.is_train = is_train
         self.rng = ThreadSafeRng(seed)  # per-thread under BatchLoader workers
+        self.randaug = None
+        if is_train and use_randaug:
+            from alpro_tpu.data.randaugment import RandomAugment
+
+            self.randaug = RandomAugment(
+                N=2, M=7, augs=self.IMAGE_AUGS, rng=self.rng
+            )
 
     def __len__(self):
         return len(self.datalist)
@@ -367,11 +383,20 @@ class PretrainImageDataset:
                     except Exception:
                         img = None
             if img is not None:
-                frames = np.repeat(img[None], self.num_frm, axis=0)
-                frames = resize_shorter_side(frames, self.resize_size)
                 if self.is_train:
-                    frames = random_square_crop(frames, self.crop_size, self.rng)
+                    from alpro_tpu.data.transforms import (
+                        random_hflip,
+                        random_resized_crop,
+                    )
+
+                    img = random_resized_crop(img, self.crop_size, self.rng)
+                    img = random_hflip(img, self.rng)
+                    if self.randaug is not None:
+                        img = self.randaug(np.ascontiguousarray(img))
+                    frames = np.repeat(img[None], self.num_frm, axis=0)
                 else:
+                    frames = np.repeat(img[None], self.num_frm, axis=0)
+                    frames = resize_shorter_side(frames, self.resize_size)
                     frames = center_square_crop(frames, self.crop_size)
                 return {"caption": item["txt"], "clip": frames, "type": "image"}
             index = int(self.rng.integers(0, len(self.datalist)))

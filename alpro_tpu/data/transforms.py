@@ -63,3 +63,54 @@ def center_square_crop(frames: np.ndarray, size: int) -> np.ndarray:
     top = (H - size) // 2
     left = (W - size) // 2
     return frames[:, top : top + size, left : left + size, :]
+
+
+def random_resized_crop(
+    img: np.ndarray,
+    size: int,
+    rng: Optional[np.random.Generator] = None,
+    scale: Tuple[float, float] = (0.2, 1.0),
+    ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+) -> np.ndarray:
+    """torchvision RandomResizedCrop semantics on a single (H, W, C) uint8
+    image: sample a crop box (10 tries of area ∈ scale·HW and log-uniform
+    aspect ∈ ratio, else the in-range center fallback) then bicubic-resize to
+    (size, size). The reference CC3M image pipeline's first transform
+    (`dataset_pretrain_sparse.py:136-139`, scale=(0.2, 1.0), BICUBIC)."""
+    from PIL import Image
+
+    rng = rng or np.random.default_rng()
+    H, W = img.shape[:2]
+    area = H * W
+    log_ratio = (np.log(ratio[0]), np.log(ratio[1]))
+    for _ in range(10):
+        target_area = area * rng.uniform(scale[0], scale[1])
+        aspect = np.exp(rng.uniform(log_ratio[0], log_ratio[1]))
+        w = int(round(np.sqrt(target_area * aspect)))
+        h = int(round(np.sqrt(target_area / aspect)))
+        if 0 < w <= W and 0 < h <= H:
+            top = int(rng.integers(0, H - h + 1))
+            left = int(rng.integers(0, W - w + 1))
+            break
+    else:  # center fallback with clamped aspect (torchvision's)
+        in_ratio = W / H
+        if in_ratio < ratio[0]:
+            w, h = W, int(round(W / ratio[0]))
+        elif in_ratio > ratio[1]:
+            h, w = H, int(round(H * ratio[1]))
+        else:
+            w, h = W, H
+        top, left = (H - h) // 2, (W - w) // 2
+    crop = img[top : top + h, left : left + w]
+    return np.asarray(
+        Image.fromarray(crop).resize((size, size), Image.BICUBIC)
+    )
+
+
+def random_hflip(
+    img: np.ndarray, rng: Optional[np.random.Generator] = None, p: float = 0.5
+) -> np.ndarray:
+    """RandomHorizontalFlip (reference CC3M pipeline,
+    `dataset_pretrain_sparse.py:138`)."""
+    rng = rng or np.random.default_rng()
+    return img[:, ::-1] if rng.random() < p else img

@@ -358,3 +358,76 @@ def test_threadsafe_rng_distinct_streams_per_thread():
         t.join()
     flat = [tuple(v) for v in draws.values()]
     assert len(set(flat)) == 3  # independent streams, no shared state
+
+
+def test_random_resized_crop_distribution():
+    """Crop areas follow scale=(0.2, 1.0) of the source, aspect stays in
+    (3/4, 4/3), output is always (size, size) bicubic
+    (`dataset_pretrain_sparse.py:136-139` RandomResizedCrop semantics)."""
+    from alpro_tpu.data.transforms import random_resized_crop
+
+    rng = np.random.default_rng(0)
+    # a gradient image so crops from different boxes differ
+    img = np.arange(64 * 64 * 3, dtype=np.uint8).reshape(64, 64, 3)
+    outs = [random_resized_crop(img, 32, rng) for _ in range(50)]
+    assert all(o.shape == (32, 32, 3) and o.dtype == np.uint8 for o in outs)
+    uniq = {o.tobytes() for o in outs}
+    assert len(uniq) > 30, "crop boxes should vary"
+    # scale=(1,1), ratio=(1,1): the crop is the full square image
+    from PIL import Image
+
+    full = np.asarray(Image.fromarray(img).resize((32, 32), Image.BICUBIC))
+    got = random_resized_crop(img, 32, rng, scale=(1.0, 1.0), ratio=(1.0, 1.0))
+    np.testing.assert_array_equal(got, full)
+
+
+def test_random_hflip_probability():
+    from alpro_tpu.data.transforms import random_hflip
+
+    rng = np.random.default_rng(1)
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[:, 0] = 255  # left column marked
+    flips = sum(
+        bool(random_hflip(img, rng)[0, -1, 0]) for _ in range(400)
+    )
+    assert 140 < flips < 260  # ~Binomial(400, .5)
+
+
+def test_pretrain_image_dataset_reference_aug_pipeline(tmp_path):
+    """Train: RandomResizedCrop + flip + RandAugment applied to the single
+    image then repeated (all frames identical, crop-size output, draws
+    differ); eval: deterministic resize + center crop."""
+    import json
+
+    from alpro_tpu.data.datasets import PretrainImageDataset
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(2)
+    rows = []
+    for i in range(3):
+        arr = rng.integers(0, 255, size=(64, 80, 3), dtype=np.uint8)
+        np.save(str(img_dir / f"img{i}.npy"), arr)
+        rows.append({"vid_id": f"img{i}", "txt": "a dog runs"})
+
+    ds = PretrainImageDataset(
+        rows, str(img_dir), num_frm=3, resize_size=48, crop_size=32, seed=0,
+        is_train=True,
+    )
+    ex = ds[0]
+    clip = ex["clip"]
+    assert clip.shape == (3, 32, 32, 3) and clip.dtype == np.uint8
+    # transform-then-repeat: every frame identical (temporal consistency)
+    np.testing.assert_array_equal(clip[0], clip[1])
+    np.testing.assert_array_equal(clip[0], clip[2])
+    # stochastic across draws
+    draws = {ds[0]["clip"].tobytes() for _ in range(6)}
+    assert len(draws) > 1
+
+    ds_eval = PretrainImageDataset(
+        rows, str(img_dir), num_frm=3, resize_size=48, crop_size=32, seed=0,
+        is_train=False,
+    )
+    a, b = ds_eval[1]["clip"], ds_eval[1]["clip"]
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (3, 32, 32, 3)
