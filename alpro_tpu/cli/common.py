@@ -119,6 +119,12 @@ def build_model_from_cfg(cfg: Config, task: str) -> AlproModel:
         # (`config_release/*_gc.json`); here it is the scanned-train default.
         bert = dataclasses.replace(bert, gradient_checkpointing=True)
         vis = dataclasses.replace(vis, gradient_checkpointing=True)
+    # selective remat: what the per-block checkpoint keeps (models/remat.py;
+    # 'dots' keeps non-batched matmul outputs — measured fastest on TPU,
+    # docs/PERF.md; 'nothing' = reference-equivalent full recompute)
+    remat_policy = cfg.get("remat_policy", "dots")
+    bert = dataclasses.replace(bert, remat_policy=remat_policy)
+    vis = dataclasses.replace(vis, remat_policy=remat_policy)
     dtype = compute_dtype(cfg)
     if task == "retrieval":
         return build_retrieval_model(bert, vis, dtype=dtype)

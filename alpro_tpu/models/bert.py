@@ -24,6 +24,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from alpro_tpu.ops.layers import LayerNorm, gelu_exact
 
@@ -50,6 +51,8 @@ class BertConfig:
     block_impl: str = "auto"
     # per-layer remat (HF-style gradient checkpointing, `xbert.py:569-591`)
     gradient_checkpointing: bool = False
+    # what the remat keeps: 'nothing' | 'dots' | 'names' (models/remat.py)
+    remat_policy: str = "nothing"
     # lax.scan the text/fusion layer stacks (one compiled layer body per
     # stack; param tree layer_{i}/* → layers_text|layers_fusion/layer/*
     # stacked — convert with `models.scan_utils.stack_bert`)
@@ -117,7 +120,10 @@ class BertSelfAttention(nn.Module):
             dropout_rng=self.make_rng("dropout") if use_drop else None,
             deterministic=deterministic,
         )
-        return out.reshape(B, L, D)
+        # remat tag: reused by remat_policy='names' (models/remat.py)
+        return checkpoint_name(
+            out.reshape(B, L, D), "bert_attn_out"
+        )
 
 
 class _BertAttnParams(nn.Module):
@@ -251,9 +257,11 @@ class BertModel(nn.Module):
         if self.cfg.scan_blocks:
             body = _ScanBertLayer
             if self.cfg.gradient_checkpointing:
+                from alpro_tpu.models.remat import resolve_remat_policy
+
                 body = nn.remat(
                     body, static_argnums=(3,), prevent_cse=False,
-                    policy=jax.checkpoint_policies.nothing_saveable,
+                    policy=resolve_remat_policy(self.cfg.remat_policy),
                 )
 
             def mk_stack(length, name):
@@ -274,9 +282,11 @@ class BertModel(nn.Module):
         else:
             layer_cls = BertLayer
             if self.cfg.gradient_checkpointing:
+                from alpro_tpu.models.remat import resolve_remat_policy
+
                 layer_cls = nn.remat(
                     BertLayer, static_argnums=(3,),
-                    policy=jax.checkpoint_policies.nothing_saveable,
+                    policy=resolve_remat_policy(self.cfg.remat_policy),
                 )
             self.layers = [
                 layer_cls(self.cfg, dtype=self.dtype, name=f"layer_{i}")

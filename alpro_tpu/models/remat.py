@@ -1,0 +1,52 @@
+"""Selective rematerialization policies for per-block gradient checkpointing.
+
+The reference's grad-ckpt (`src/utils/grad_ckpt.py:23-42`) is all-or-nothing:
+the whole block forward is recomputed in backward. On TPU the recompute is
+~1/3 of step FLOPs plus the temporal-relayout copies twice over, so we expose
+jax.checkpoint *policies* that keep the memory win while skipping the most
+expensive recompute:
+
+- ``nothing``: `nothing_saveable` — the reference-equivalent full recompute.
+- ``dots``: `dots_with_no_batch_dims_saveable` — every non-batched matmul
+  output is kept; backward recomputes only elementwise/LN/reshape glue.
+  Largest memory of the three (the MLP hidden and qkv blow-ups are saved).
+- ``names``: `save_only_these_names` over the tags below — the two attention
+  outputs per TimeSformer block (and the BERT attention context) are kept;
+  scores/softmax/PV and the relayout copies are never recomputed, while the
+  MLP hidden (the big buffer) still is. Cheapest targeted middle ground:
+  one (B, T, N, D) bf16 residual per attention per block.
+"""
+
+from __future__ import annotations
+
+import jax
+
+# tag names used with jax.ad_checkpoint.checkpoint_name inside the blocks
+TS_TEMPORAL_ATTN = "ts_temporal_attn_out"
+TS_SPATIAL_ATTN = "ts_spatial_attn_out"
+BERT_ATTN = "bert_attn_out"
+
+SAVED_NAMES = (TS_TEMPORAL_ATTN, TS_SPATIAL_ATTN, BERT_ATTN)
+
+REMAT_POLICIES = ("nothing", "dots", "dots_all", "dots_names", "names")
+
+
+def resolve_remat_policy(name: str):
+    """Map a config string to a jax.checkpoint policy callable."""
+    if name == "nothing":
+        return jax.checkpoint_policies.nothing_saveable
+    if name == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if name == "dots_all":
+        # every dot output incl. batched attention einsums — largest memory
+        return jax.checkpoint_policies.dots_saveable
+    if name == "dots_names":
+        return jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            jax.checkpoint_policies.save_only_these_names(*SAVED_NAMES),
+        )
+    if name == "names":
+        return jax.checkpoint_policies.save_only_these_names(*SAVED_NAMES)
+    raise ValueError(
+        f"remat_policy must be one of {REMAT_POLICIES}, got {name!r}"
+    )

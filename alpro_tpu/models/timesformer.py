@@ -39,6 +39,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from alpro_tpu.ops.layers import LayerNorm, Mlp
 
@@ -90,6 +91,10 @@ class TimeSformerConfig:
     # per-block CheckpointFunction, `src/utils/grad_ckpt.py:23-42` used at
     # `timesformer/vit.py:150-208`); on TPU this trades HBM for FLOPs
     gradient_checkpointing: bool = False
+    # what the remat keeps: 'nothing' (full recompute, reference-equivalent)
+    # | 'dots' (keep matmul outputs) | 'names' (keep the two attention
+    # outputs per block — see models/remat.py for the measured trade-offs)
+    remat_policy: str = "nothing"
     # lax.scan over the block stack instead of a 12×-unrolled python loop:
     # one compiled block body → ~12× smaller HLO and much faster compiles
     # (this sandbox's remote-compile relay rejects oversized payloads —
@@ -313,16 +318,26 @@ class DividedSTBlock(nn.Module):
                 self.dtype
             )
             if t_impl == "fused_block":
-                # whole-chain mega-kernel: qkv never leaves VMEM
+                # whole-chain mega-kernel: qkv never leaves VMEM. Mosaic
+                # needs the N-block dim divisible by 8 — N=196 has no such
+                # divisor ≤64 and the full-N block overflows VMEM, so pad N
+                # to the next multiple of 8 (196→200 ⇒ Nt=40). Temporal
+                # attention never mixes across N and LN is per-token, so pad
+                # locations are garbage-in/garbage-out and slice away clean.
                 from alpro_tpu.ops.pallas_fused_block import (
                     fused_temporal_block,
                 )
 
-                x = fused_temporal_block(
-                    x, ln_s, ln_b,
+                Np = -(-N // 8) * 8
+                xin = x
+                if Np != N and jax.default_backend() == "tpu":
+                    xin = jnp.pad(x, ((0, 0), (0, 0), (0, Np - N), (0, 0)))
+                xout = fused_temporal_block(
+                    xin, ln_s, ln_b,
                     qkv_k.astype(self.dtype), qkv_b.astype(self.dtype),
                     w_eff, b_eff, cfg.num_heads, eps=cfg.ln_eps,
                 )
+                x = xout[:, :, :N, :] if xin is not x else xout
             elif t_impl == "fused_qkv_proj":
                 # XLA LN + qkv matmul; attention + folded projection in one
                 # kernel taking the full-width qkv block (contiguous reads,
@@ -402,6 +417,12 @@ class DividedSTBlock(nn.Module):
             )(xt, deterministic)
             t_out = jnp.moveaxis(t_out.reshape(B, N, T, D), 1, 2)  # (B, T, N, D)
         if not t_fused_done:
+            # remat tag: with remat_policy='names' the backward pass reuses
+            # this (B, T, N, D) residual instead of recomputing the temporal
+            # attention (and its relayout copies) — models/remat.py
+            t_out = checkpoint_name(
+                t_out, "ts_temporal_attn_out"
+            )
             t_out = self._drop_path(t_out, (B, 1, N, 1), deterministic, dp_rate)
             t_out = nn.Dense(
                 D, dtype=self.dtype,
@@ -492,6 +513,7 @@ class DividedSTBlock(nn.Module):
                 name="attn",
             )(xs_n.reshape(B * T, 1 + N, D), deterministic)
             s_out = s_out.reshape(B, T, 1 + N, D)
+        s_out = checkpoint_name(s_out, "ts_spatial_attn_out")
         s_out = self._drop_path(s_out, (B, T, 1, 1), deterministic, dp_rate)
         cls_res = jnp.mean(s_out[:, :, 0, :], axis=1, keepdims=True)  # (B,1,D)
         x = x + s_out[:, :, 1:, :]
@@ -751,9 +773,11 @@ class TimeSformer(nn.Module):
             if cfg.scan_blocks:
                 body = _ScanDividedBlock
                 if cfg.gradient_checkpointing:
+                    from alpro_tpu.models.remat import resolve_remat_policy
+
                     body = nn.remat(
                         body, static_argnums=(3,), prevent_cse=False,
-                        policy=jax.checkpoint_policies.nothing_saveable,
+                        policy=resolve_remat_policy(cfg.remat_policy),
                     )
                 scanned = nn.scan(
                     body,
@@ -768,9 +792,11 @@ class TimeSformer(nn.Module):
             else:
                 block_cls = DividedSTBlock
                 if cfg.gradient_checkpointing:
+                    from alpro_tpu.models.remat import resolve_remat_policy
+
                     block_cls = nn.remat(
                         DividedSTBlock, static_argnums=(3,),
-                        policy=jax.checkpoint_policies.nothing_saveable,
+                        policy=resolve_remat_policy(cfg.remat_policy),
                     )
                 for i in range(cfg.depth):
                     cls, x = block_cls(

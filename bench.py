@@ -256,7 +256,9 @@ def main():
         try:
             from benchmarks.train_step import measure_train_step
 
-            tr = measure_train_step(batch=8, iters=8)
+            # remat_policy='dots': measured fastest (40.6 vs 38.0 clips/s
+            # with the reference-equivalent full recompute, docs/PERF.md)
+            tr = measure_train_step(batch=8, iters=8, remat_policy="dots")
             extras["train_clips_per_sec"] = round(tr["clips_per_sec"], 2)
             extras["train_ms_per_step_b8"] = round(tr["ms_per_step"], 1)
         except Exception as e:

@@ -19,7 +19,7 @@ import numpy as np
 
 
 def measure_pretrain_step(batch=8, iters=6, num_frm=4, img_size=224,
-                          use_mpm=True) -> dict:
+                          use_mpm=True, remat_policy="nothing") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -40,8 +40,10 @@ def measure_pretrain_step(batch=8, iters=6, num_frm=4, img_size=224,
     vis = TimeSformerConfig(
         img_size=img_size, patch_size=16, num_frames=num_frm,
         drop_path_rate=0.1, scan_blocks=True, gradient_checkpointing=True,
+        remat_policy=remat_policy,
     )
-    bert = BertConfig(scan_blocks=True, gradient_checkpointing=True)
+    bert = BertConfig(scan_blocks=True, gradient_checkpointing=True,
+                      remat_policy=remat_policy)
     model = build_pretrain_model(
         bert, vis, img_size=img_size, num_frm=num_frm, dtype=jnp.bfloat16
     )
@@ -127,10 +129,13 @@ def main():
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--num_frm", type=int, default=4)
     ap.add_argument("--use_mpm", type=int, default=1)
+    ap.add_argument("--remat_policy", type=str, default="dots",
+                    choices=["nothing", "dots", "dots_all", "dots_names",
+                             "names"])
     args = ap.parse_args()
     r = measure_pretrain_step(
         batch=args.batch, iters=args.iters, num_frm=args.num_frm,
-        use_mpm=bool(args.use_mpm),
+        use_mpm=bool(args.use_mpm), remat_policy=args.remat_policy,
     )
     print(json.dumps({
         "metric": f"pretrain clips/s (VTC+VTM+MLM{'+MPM' if args.use_mpm else ''}, B={args.batch}, T={args.num_frm}, bf16)",

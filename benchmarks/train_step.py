@@ -19,7 +19,8 @@ import numpy as np
 
 
 def measure_train_step(batch=8, iters=8, num_frm=8, img_size=224, depth=12,
-                       grad_ckpt=True) -> dict:
+                       grad_ckpt=True, bert_grad_ckpt=None,
+                       remat_policy="nothing") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -37,12 +38,15 @@ def measure_train_step(batch=8, iters=8, num_frm=8, img_size=224, depth=12,
     # backward then exceeds HBM (measured 18.7G vs 15.75G). Per-block
     # gradient checkpointing (the reference's own recipe for its larger
     # configs, `src/utils/grad_ckpt.py`) trades ~1 extra forward for fitting.
+    if bert_grad_ckpt is None:
+        bert_grad_ckpt = grad_ckpt
     vis = TimeSformerConfig(
         img_size=img_size, patch_size=16, num_frames=num_frm,
         depth=depth, drop_path_rate=0.1, scan_blocks=True,
-        gradient_checkpointing=grad_ckpt,
+        gradient_checkpointing=grad_ckpt, remat_policy=remat_policy,
     )
-    bert = BertConfig(scan_blocks=True, gradient_checkpointing=grad_ckpt)
+    bert = BertConfig(scan_blocks=True, gradient_checkpointing=bert_grad_ckpt,
+                      remat_policy=remat_policy)
     model = build_retrieval_model(bert, vis, dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
     B, L = batch, 40
@@ -91,13 +95,18 @@ def main():
     ap.add_argument("--img_size", type=int, default=224)
     ap.add_argument("--depth", type=int, default=12)
     ap.add_argument("--grad_ckpt", type=int, default=1)
+    ap.add_argument("--remat_policy", type=str, default="dots",
+                    choices=["nothing", "dots", "dots_all", "dots_names",
+                             "names"])
     args = ap.parse_args()
     r = measure_train_step(
         batch=args.batch, iters=args.iters, num_frm=args.num_frm,
         img_size=args.img_size, depth=args.depth, grad_ckpt=bool(args.grad_ckpt),
+        remat_policy=args.remat_policy,
     )
     print(json.dumps({
-        "metric": f"train clips/s (retrieval step, B={args.batch}, VTC+VTM, bf16)",
+        "metric": f"train clips/s (retrieval step, B={args.batch}, VTC+VTM, "
+                  f"bf16, remat={args.remat_policy})",
         "value": round(r["clips_per_sec"], 2),
         "unit": "clips/s",
         "ms_per_step": round(r["ms_per_step"], 1),

@@ -12,12 +12,18 @@ from alpro_tpu.train.step import make_retrieval_train_step
 import dataclasses
 
 
-def test_remat_timesformer_same_output_and_grads():
+from alpro_tpu.models.remat import REMAT_POLICIES
+
+
+@pytest.mark.parametrize("policy", REMAT_POLICIES)
+def test_remat_timesformer_same_output_and_grads(policy):
     cfg = TimeSformerConfig(
         img_size=32, patch_size=16, num_frames=2, embed_dim=16, depth=2,
         num_heads=2, drop_path_rate=0.0,
     )
-    cfg_r = dataclasses.replace(cfg, gradient_checkpointing=True)
+    cfg_r = dataclasses.replace(
+        cfg, gradient_checkpointing=True, remat_policy=policy
+    )
     pixels = jnp.asarray(np.random.RandomState(0).rand(2, 2, 32, 32, 3).astype(np.float32))
     m = TimeSformer(cfg)
     mr = TimeSformer(cfg_r)
@@ -33,13 +39,16 @@ def test_remat_timesformer_same_output_and_grads():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
-def test_remat_bert_same_output_and_grads():
+@pytest.mark.parametrize("policy", REMAT_POLICIES)
+def test_remat_bert_same_output_and_grads(policy):
     cfg = BertConfig(
         vocab_size=50, hidden_size=16, num_hidden_layers=2,
         num_attention_heads=2, intermediate_size=32, fusion_layer=1,
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
     )
-    cfg_r = dataclasses.replace(cfg, gradient_checkpointing=True)
+    cfg_r = dataclasses.replace(
+        cfg, gradient_checkpointing=True, remat_policy=policy
+    )
     ids = jnp.asarray(np.random.RandomState(0).randint(0, 50, (2, 7)))
     mask = jnp.ones((2, 7), jnp.int32)
     m = BertModel(cfg)
