@@ -436,9 +436,42 @@ class DividedSTBlock(nn.Module):
 
         # ---- spatial attention over (1 + N) per frame ----
         # 'auto' resolution lives in VitAttention (single source of truth);
-        # the block-level branch below only triggers on the explicit
-        # block-level impl values.
+        # the block-level branches below trigger only on explicit impl
+        # values. 'cls_sideband' (kernel takes the shared CLS row as a
+        # sideband input — no (B,T,1+N,D) concat, no offset-1 slice, cls
+        # proj once per sample) measured BELOW the concat default in-model
+        # (241.8 v2 / 232.7 v1 vs 253.2 clips/s, docs/PERF.md round 3): the
+        # extra per-cell input streams and second output cost more than the
+        # removed concat/slice. Kept as a tested opt-in.
         s_impl = cfg.attn_impl
+        if s_impl == "cls_sideband" and deterministic:
+            from alpro_tpu.ops.layers import AttnParams, LNParams, layernorm_apply
+            from alpro_tpu.ops.pallas_qkv_attn import fused_attention_qkv_cls
+
+            ln_s, ln_b = LNParams(name="norm1")(D)
+            (qkv_k, qkv_b), (proj_k, proj_b) = AttnParams(name="attn")(D)
+            wk = qkv_k.astype(self.dtype)
+            wb = qkv_b.astype(self.dtype)
+            xn = layernorm_apply(x, ln_s, ln_b, cfg.ln_eps, self.dtype)
+            cn = layernorm_apply(cls, ln_s, ln_b, cfg.ln_eps, self.dtype)
+            qkv_x = (jnp.dot(xn, wk) + wb).reshape(B * T, N, 3 * D)
+            qkv_c = jnp.dot(cn, wk) + wb  # (B, 1, 3D)
+            att_x, att_c = fused_attention_qkv_cls(
+                qkv_x, qkv_c, cfg.num_heads, T
+            )
+            wp = proj_k.astype(self.dtype)
+            bp = proj_b.astype(self.dtype)
+            s_x = (jnp.dot(att_x, wp) + bp).astype(x.dtype)
+            # mean over frames commutes with the linear proj; droppath is
+            # identity on this deterministic path (reference tail:
+            # `vit.py:165-208` — proj per frame, then mean over T for cls)
+            c_mean = jnp.mean(
+                att_c.reshape(B, T, D).astype(jnp.float32), axis=1,
+                keepdims=True,
+            ).astype(self.dtype)
+            x = x + s_x.reshape(B, T, N, D)
+            cls = cls + (jnp.dot(c_mean, wp) + bp).astype(cls.dtype)
+            return self._mlp_tail(cls, x, deterministic, dp_rate)
         cls_rep = jnp.broadcast_to(cls[:, None, :, :], (B, T, 1, D)).astype(
             x.dtype
         )
@@ -508,7 +541,9 @@ class DividedSTBlock(nn.Module):
                 attn_impl=(
                     "fused_qkv"
                     if s_impl in ("fused_ln_qkv", "fused_block", "fused_qkv_proj")
-                    else s_impl
+                    # explicit cls_sideband under training: the kernel is
+                    # deterministic-only, so defer to VitAttention's auto
+                    else ("auto" if s_impl == "cls_sideband" else s_impl)
                 ),
                 name="attn",
             )(xs_n.reshape(B * T, 1 + N, D), deterministic)
@@ -518,8 +553,12 @@ class DividedSTBlock(nn.Module):
         cls_res = jnp.mean(s_out[:, :, 0, :], axis=1, keepdims=True)  # (B,1,D)
         x = x + s_out[:, :, 1:, :]
         cls = cls + cls_res
+        return self._mlp_tail(cls, x, deterministic, dp_rate)
 
-        # ---- MLP (pointwise; shared per-sample droppath mask) ----
+    def _mlp_tail(self, cls, x, deterministic, dp_rate):
+        """---- MLP (pointwise; shared per-sample droppath mask) ----"""
+        cfg = self.cfg
+        B, T, N, D = x.shape
         hidden = int(D * cfg.mlp_ratio)
         mlp_impl = cfg.mlp_impl
         if mlp_impl == "auto":
@@ -549,17 +588,23 @@ class DividedSTBlock(nn.Module):
             # are interchangeable between impls
             scale, bias = LNParams(name="norm2")(D)
             (k1, b1), (k2, b2) = MlpParams(hidden, name="mlp")(D)
-            rows = jnp.concatenate(
-                [cls.reshape(B, D), x.reshape(B * T * N, D)], axis=0
+            # two calls instead of concat([cls_rows, x_rows]): the reshape of
+            # the contiguous (B,T,N,D) carry is free, so the patch rows reach
+            # the kernel with no copy; the B cls rows ride a tiny padded
+            # block. Removes one full-tensor concat write per block
+            # (docs/PERF.md round 3); per-row math unchanged.
+            kw = dict(
+                w1=k1.astype(self.dtype), b1=b1.astype(self.dtype),
+                w2=k2.astype(self.dtype), b2=b2.astype(self.dtype),
             )
-            out = fused_ln_mlp(
-                rows, scale, bias,
-                k1.astype(self.dtype), b1.astype(self.dtype),
-                k2.astype(self.dtype), b2.astype(self.dtype),
-                eps=cfg.ln_eps,
-            )
-            cls = out[:B].reshape(B, 1, D)
-            x = out[B:].reshape(B, T, N, D)
+            x = fused_ln_mlp(
+                x.reshape(B * T * N, D), scale, bias,
+                kw["w1"], kw["b1"], kw["w2"], kw["b2"], eps=cfg.ln_eps,
+            ).reshape(B, T, N, D)
+            cls = fused_ln_mlp(
+                cls.reshape(B, D), scale, bias,
+                kw["w1"], kw["b1"], kw["w2"], kw["b2"], eps=cfg.ln_eps,
+            ).reshape(B, 1, D)
             return cls, x
         norm2 = LayerNorm(cfg.ln_eps, dtype=self.dtype, name="norm2")
         mlp = Mlp(

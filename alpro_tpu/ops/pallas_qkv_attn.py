@@ -167,6 +167,172 @@ def fused_attention_qkv(
 
 
 # ---------------------------------------------------------------------------
+# spatial with a CLS sideband: the shared CLS token never joins the patch
+# tensor in HBM. The model's divided-ST spatial attention runs per frame over
+# [CLS | N patches] (`vit.py:165-208`), where CLS is one (B, 1, D) row
+# broadcast to every frame; materializing it costs a (B, T, 1+N, D) concat
+# before the qkv matmul and a misaligned [:, :, 1:, :] slice after the proj,
+# every block. Here the kernel reads the frame's N-row qkv block plus the
+# sample's single cls qkv row (index map b // T) and emits patch and cls
+# attention outputs separately — no concat, no offset-1 slice, and the cls
+# proj runs once per sample instead of once per frame (mean commutes with
+# the linear proj).
+# ---------------------------------------------------------------------------
+def _spatial_cls_kernel(qx_ref, kx_ref, vx_ref, qc_ref, kc_ref, vc_ref,
+                        ox_ref, oc_ref, *, scale: float, hd: int,
+                        heads_per_block: int):
+    for i in range(heads_per_block):
+        sl = slice(i * hd, (i + 1) * hd)
+        qx = qx_ref[0, :, sl]   # (N, hd) stored dtype (bf16 on TPU)
+        kx = kx_ref[0, :, sl]
+        vx = vx_ref[0, :, sl]
+        # cls pieces in fp32: Mosaic rejects 1-row dots (vector.broadcast
+        # verifier), so every cls term is a VPU multiply-reduce instead of
+        # an MXU dot — it touches one row, the cost is noise
+        qcf = qc_ref[0, :, sl].astype(jnp.float32)   # (1, hd)
+        kcf = kc_ref[0, :, sl].astype(jnp.float32)
+        vcf = vc_ref[0, :, sl].astype(jnp.float32)
+        # keys = [cls | patches]; the two score pieces share one softmax
+        sxx = jax.lax.dot_general(
+            qx, kx, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                            # (N, N)
+        sxc = jnp.sum(
+            qx.astype(jnp.float32) * kcf, axis=-1, keepdims=True
+        ) * scale                                            # (N, 1)
+        m = jnp.maximum(jnp.max(sxx, axis=-1, keepdims=True), sxc)
+        pxx = jnp.exp(sxx - m)
+        pxc = jnp.exp(sxc - m)
+        den = jnp.sum(pxx, axis=-1, keepdims=True) + pxc
+        o = jnp.dot(
+            pxx.astype(vx.dtype), vx, preferred_element_type=jnp.float32
+        ) + pxc * vcf
+        ox_ref[0, :, sl] = (o / den).astype(ox_ref.dtype)
+        # cls query over the same key set. The single query row is
+        # replicated to 8 sublanes so both its dots are legal MXU ops
+        # (1-row dots crash the Mosaic verifier; sublane-axis reductions
+        # measured slow) — row 0 of the 8 identical results is written.
+        qc8 = jnp.broadcast_to(qc_ref[0, :, sl], (8, qcf.shape[-1]))
+        scx8 = jax.lax.dot_general(
+            qc8, kx, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                                 # (8, N)
+        scc = jnp.sum(qcf * kcf, axis=-1, keepdims=True) * scale  # (1, 1)
+        mc = jnp.maximum(jnp.max(scx8, axis=-1, keepdims=True), scc)
+        pcx8 = jnp.exp(scx8 - mc)                                 # (8, N)
+        pcc = jnp.exp(scc - mc)                                   # (8, 1)
+        denc = jnp.sum(pcx8, axis=-1, keepdims=True) + pcc
+        oc8 = jnp.dot(
+            pcx8.astype(vx.dtype), vx, preferred_element_type=jnp.float32
+        ) + pcc * vcf
+        oc_ref[0, :, sl] = ((oc8 / denc).astype(oc_ref.dtype))[0:1]
+
+
+def _spatial_cls_fwd_impl(qkv_x, qkv_c, num_heads, scale, T):
+    M, N, threeD = qkv_x.shape  # M = B·T
+    D = threeD // 3
+    hd = D // num_heads
+    interpret = jax.default_backend() != "tpu"
+    lane = _SPATIAL_LANE if not interpret else hd
+    if D % lane != 0 or lane % hd != 0:
+        lane = _LANE
+    if D % lane != 0 or lane % hd != 0:
+        raise ValueError(
+            f"fused cls-sideband attention needs D divisible by a lane width "
+            f"that is a head-dim multiple; got D={D}, head_dim={hd}"
+        )
+    hpb = lane // hd
+    nq = D // lane
+    return pl.pallas_call(
+        functools.partial(
+            _spatial_cls_kernel, scale=float(scale), hd=hd, heads_per_block=hpb
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, N, D), qkv_x.dtype),
+            jax.ShapeDtypeStruct((M, 1, D), qkv_x.dtype),
+        ),
+        grid=(M, nq),
+        in_specs=[
+            pl.BlockSpec((1, N, lane), lambda b, h: (b, 0, h),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, N, lane), lambda b, h, nq=nq: (b, 0, nq + h),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, N, lane), lambda b, h, nq=nq: (b, 0, 2 * nq + h),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, 1, lane), lambda b, h, T=T: (b // T, 0, h),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, 1, lane), lambda b, h, T=T, nq=nq: (b // T, 0, nq + h),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, 1, lane), lambda b, h, T=T, nq=nq: (b // T, 0, 2 * nq + h),
+                         memory_space=_VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, N, lane), lambda b, h: (b, 0, h),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, 1, lane), lambda b, h: (b, 0, h),
+                         memory_space=_VMEM),
+        ),
+        interpret=interpret,
+    )(qkv_x, qkv_x, qkv_x, qkv_c, qkv_c, qkv_c)
+
+
+def _spatial_cls_xla_reference(qkv_x, qkv_c, num_heads, scale, T):
+    """Concat-based oracle: broadcast cls to every frame, run the plain
+    spatial reference over 1+N, split the outputs back."""
+    M, N, threeD = qkv_x.shape
+    B = M // T
+    c_rep = jnp.broadcast_to(
+        qkv_c[:, None, :, :], (B, T, 1, threeD)
+    ).reshape(M, 1, threeD)
+    full = jnp.concatenate([c_rep, qkv_x], axis=1)  # (M, 1+N, 3D)
+    out = _spatial_xla_reference(full, num_heads, scale)
+    return out[:, 1:, :], out[:, :1, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _spatial_cls_attention_qkv(qkv_x, qkv_c, num_heads, scale, T):
+    return _spatial_cls_fwd_impl(qkv_x, qkv_c, num_heads, scale, T)
+
+
+def _spatial_cls_fwd(qkv_x, qkv_c, num_heads, scale, T):
+    return (
+        _spatial_cls_fwd_impl(qkv_x, qkv_c, num_heads, scale, T),
+        (qkv_x, qkv_c),
+    )
+
+
+def _spatial_cls_bwd(num_heads, scale, T, res, g):
+    qkv_x, qkv_c = res
+    gx, gc = g
+    _, vjp = jax.vjp(
+        lambda a, b: _spatial_cls_xla_reference(a, b, num_heads, scale, T),
+        qkv_x, qkv_c,
+    )
+    return vjp((gx.astype(qkv_x.dtype), gc.astype(qkv_c.dtype)))
+
+
+_spatial_cls_attention_qkv.defvjp(_spatial_cls_fwd, _spatial_cls_bwd)
+
+
+def fused_attention_qkv_cls(
+    qkv_x: jnp.ndarray, qkv_c: jnp.ndarray, num_heads: int, T: int,
+    *, scale: Optional[float] = None
+):
+    """Per-frame attention over [cls | N patches] without materializing the
+    concat: qkv_x (B·T, N, 3D) patch projections, qkv_c (B, 1, 3D) the
+    sample-shared cls projection. Returns (patch_out (B·T, N, D),
+    cls_out (B·T, 1, D)). Requires B·T % T == 0 and the spatial kernel's
+    lane divisibility."""
+    D = qkv_x.shape[-1] // 3
+    hd = D // num_heads
+    if qkv_x.shape[0] % T != 0:
+        raise ValueError(f"leading dim {qkv_x.shape[0]} not divisible by T={T}")
+    if scale is None:
+        scale = hd ** -0.5
+    return _spatial_cls_attention_qkv(qkv_x, qkv_c, num_heads, float(scale), T)
+
+
+# ---------------------------------------------------------------------------
 # temporal: attention over T at each patch location, native (B, T, N, 3D)
 # ---------------------------------------------------------------------------
 def _roll_up(x, delta):

@@ -150,3 +150,73 @@ def test_model_fused_qkv_proj_equals_xla():
     out_x = m_x.apply(params, x)
     out_f = m_f.apply(params, x)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), atol=5e-5)
+
+
+def test_cls_sideband_matches_reference():
+    from alpro_tpu.ops.pallas_qkv_attn import (
+        _spatial_cls_xla_reference,
+        fused_attention_qkv_cls,
+    )
+
+    B, T, N, H, hd = 2, 3, 10, 2, 8
+    D = H * hd
+    rng = np.random.RandomState(3)
+    qkv_x = jnp.asarray(rng.randn(B * T, N, 3 * D).astype(np.float32))
+    qkv_c = jnp.asarray(rng.randn(B, 1, 3 * D).astype(np.float32))
+    ox, oc = fused_attention_qkv_cls(qkv_x, qkv_c, H, T)
+    rx, rc = _spatial_cls_xla_reference(qkv_x, qkv_c, H, hd ** -0.5, T)
+    np.testing.assert_allclose(np.asarray(ox), np.asarray(rx), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(oc), np.asarray(rc), atol=1e-5)
+
+
+def test_cls_sideband_gradients():
+    from alpro_tpu.ops.pallas_qkv_attn import (
+        _spatial_cls_xla_reference,
+        fused_attention_qkv_cls,
+    )
+
+    B, T, N, H, hd = 1, 2, 6, 2, 4
+    D = H * hd
+    rng = np.random.RandomState(4)
+    qkv_x = jnp.asarray(rng.randn(B * T, N, 3 * D).astype(np.float32))
+    qkv_c = jnp.asarray(rng.randn(B, 1, 3 * D).astype(np.float32))
+
+    def f(a, c):
+        ox, oc = fused_attention_qkv_cls(a, c, H, T)
+        return jnp.sum(ox ** 2) + jnp.sum(oc ** 2)
+
+    def fr(a, c):
+        ox, oc = _spatial_cls_xla_reference(a, c, H, hd ** -0.5, T)
+        return jnp.sum(ox ** 2) + jnp.sum(oc ** 2)
+
+    g1 = jax.grad(f, argnums=(0, 1))(qkv_x, qkv_c)
+    g2 = jax.grad(fr, argnums=(0, 1))(qkv_x, qkv_c)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-4
+        )
+
+
+def test_model_cls_sideband_equals_default():
+    """The serving cls-sideband spatial path must match the concat-based
+    default bit-for-bit-ish (same params, deterministic, fp32)."""
+    from alpro_tpu.models import TimeSformer, TimeSformerConfig
+
+    kw = dict(
+        img_size=32, patch_size=16, num_frames=4, embed_dim=16, depth=2,
+        num_heads=2, drop_path_rate=0.0,
+    )
+    x = jnp.asarray(
+        np.random.RandomState(9).randn(2, 4, 32, 32, 3).astype(np.float32)
+    )
+    m_d = TimeSformer(TimeSformerConfig(**kw))  # auto → VitAttention on CPU
+    m_s = TimeSformer(TimeSformerConfig(**kw, attn_impl="cls_sideband"))
+    params = m_d.init({"params": jax.random.PRNGKey(0)}, x)
+    params_s = m_s.init({"params": jax.random.PRNGKey(0)}, x)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, params_s,
+    )
+    out_d = m_d.apply(params, x)
+    out_s = m_s.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_d), atol=5e-5)
