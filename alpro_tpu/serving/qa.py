@@ -22,18 +22,29 @@ class VideoQAPredictor:
     [("cooking", 0.71), ("eating", 0.12), ("running", 0.05)]"""
 
     def __init__(self, model, params, tokenizer, ans2label: Dict[str, int],
-                 max_txt_len: int = 25, pool: str = "mean"):
+                 max_txt_len: int = 25, pool: str = "mean",
+                 weights: str = "bf16"):
+        """`weights`: 'bf16' or 'int8' (per-channel int8 weight storage,
+        dequantized inside jit — see serving/retrieval.py + ops/quant.py)."""
         import jax
 
         from alpro_tpu.train.step import make_qa_inference_fn
 
         self.model = model
-        self.params = params
         self.tokenizer = tokenizer
         self.max_txt_len = int(max_txt_len)
         self.pool = pool
         self.label2ans = {v: k for k, v in ans2label.items()}
-        self._infer = jax.jit(make_qa_inference_fn(model))
+        if weights not in ("bf16", "int8"):
+            raise ValueError(f"weights must be 'bf16' or 'int8', got {weights!r}")
+        infer = make_qa_inference_fn(model)
+        if weights == "int8":
+            from alpro_tpu.ops.quant import quantize_tree, wrap_dequant
+
+            params = quantize_tree(params)
+            infer = wrap_dequant(infer)
+        self.params = params
+        self._infer = jax.jit(infer)
 
     def predict(
         self,

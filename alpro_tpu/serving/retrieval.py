@@ -37,7 +37,11 @@ class RetrievalIndex:
     """
 
     def __init__(self, model, params, tokenizer, max_txt_len: int = 40,
-                 topk: int = 16):
+                 topk: int = 16, weights: str = "bf16"):
+        """`weights`: 'bf16' (default serving policy) or 'int8' — per-channel
+        int8 weight storage dequantized inside jit (`ops/quant.py`); halves
+        at-rest and streamed weight HBM, numerics within the int8
+        round-to-nearest envelope (tests/test_quant.py)."""
         import jax
 
         from alpro_tpu.train.step import (
@@ -47,13 +51,21 @@ class RetrievalIndex:
         )
 
         self.model = model
-        self.params = params
         self.tokenizer = tokenizer
         self.max_txt_len = int(max_txt_len)
         self.topk = int(topk)
-        self._embed_video = jax.jit(make_video_embed_fn(model))
-        self._encode_text = jax.jit(make_text_encode_fn(model))
-        self._fusion_score = jax.jit(make_fusion_score_fn(model))
+        if weights not in ("bf16", "int8"):
+            raise ValueError(f"weights must be 'bf16' or 'int8', got {weights!r}")
+        wrap = lambda f: f  # noqa: E731
+        if weights == "int8":
+            from alpro_tpu.ops.quant import quantize_tree, wrap_dequant
+
+            params = quantize_tree(params)
+            wrap = wrap_dequant
+        self.params = params
+        self._embed_video = jax.jit(wrap(make_video_embed_fn(model)))
+        self._encode_text = jax.jit(wrap(make_text_encode_fn(model)))
+        self._fusion_score = jax.jit(wrap(make_fusion_score_fn(model)))
         self.ids: List[str] = []
         self._feat_chunks: List[np.ndarray] = []   # (b, 256) fp32, normalized
         self._token_chunks: List[np.ndarray] = []  # (b, 1+N, D)
