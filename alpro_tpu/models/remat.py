@@ -28,7 +28,20 @@ BERT_ATTN = "bert_attn_out"
 
 SAVED_NAMES = (TS_TEMPORAL_ATTN, TS_SPATIAL_ATTN, BERT_ATTN)
 
-REMAT_POLICIES = ("nothing", "dots", "dots_all", "dots_names", "names")
+REMAT_POLICIES = ("nothing", "dots", "dots_all", "dots_names", "names",
+                  "dots_rng")
+
+# PRNG bit-generation primitives: their outputs are the dropout/droppath
+# mask bits. Under a policy that doesn't save them, every backward re-runs
+# the generators (visible in the train profile's elementwise fusions even
+# with the cheap rbg impl).
+_RNG_PRIMS = frozenset(
+    ("rng_bit_generator", "threefry2x32", "random_bits", "random_fold_in")
+)
+
+
+def _rng_bits_saveable(prim, *_, **__):
+    return getattr(prim, "name", None) in _RNG_PRIMS
 
 
 def resolve_remat_policy(name: str):
@@ -37,6 +50,13 @@ def resolve_remat_policy(name: str):
         return jax.checkpoint_policies.nothing_saveable
     if name == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if name == "dots_rng":
+        # dots ∪ PRNG bits: backward recompute never re-generates dropout
+        # masks; costs one bits-array per dropout/droppath site per block
+        return jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            _rng_bits_saveable,
+        )
     if name == "dots_all":
         # every dot output incl. batched attention einsums — largest memory
         return jax.checkpoint_policies.dots_saveable

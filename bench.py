@@ -250,27 +250,14 @@ def main():
         except Exception as e:
             extras["pipeline_error"] = repr(e)[:200]
 
-    # train step: its compile alone can take 2-10 min through the tunnel —
-    # require a large remaining budget before even starting
-    if _time_left() > 420:
-        try:
-            from benchmarks.train_step import measure_train_step
-
-            # remat_policy='dots': measured fastest (40.6 vs 38.0 clips/s
-            # with the reference-equivalent full recompute, docs/PERF.md)
-            tr = measure_train_step(batch=8, iters=8, remat_policy="dots")
-            extras["train_clips_per_sec"] = round(tr["clips_per_sec"], 2)
-            extras["train_ms_per_step_b8"] = round(tr["ms_per_step"], 1)
-        except Exception as e:
-            extras["train_error"] = repr(e)[:200]
-
-    # serving latency: per-query tunnel round trips inherit phase jitter
+    # serving latency before the train stage: p50 is a BASELINE.md driver
+    # metric and the train compile can eat the rest of the budget
     if _time_left() > 300:
         try:
             from benchmarks.retrieval_latency import measure_latency
 
             lat = measure_latency(n_queries=24)
-            if _time_left() > 240:
+            if _time_left() > 700:
                 lat2 = measure_latency(n_queries=24)
                 if lat2["p50_ms"] < lat["p50_ms"]:
                     lat = lat2
@@ -278,6 +265,27 @@ def main():
             extras["retrieval_p90_ms"] = round(lat["p90_ms"], 1)
         except Exception as e:
             extras["latency_error"] = repr(e)[:200]
+
+    # train step: its compile alone can take 2-10 min through the tunnel —
+    # require a large remaining budget before even starting
+    if _time_left() > 420:
+        try:
+            from benchmarks.train_step import measure_train_step
+
+            # unrolled blocks + remat_policy='dots' is the measured-fastest
+            # training graph (43.9 vs 40.6 scanned, docs/PERF.md); warm
+            # (persistent compile cache, which this bench itself seeds) it
+            # compiles in ~6 min like the scanned graph, cold ~12 min. The
+            # headline + latency numbers are already emitted by this point,
+            # so a cold-compile overrun only costs this stage.
+            scan = _time_left() < 600
+            tr = measure_train_step(batch=8, iters=8, remat_policy="dots",
+                                    scan_blocks=scan)
+            extras["train_clips_per_sec"] = round(tr["clips_per_sec"], 2)
+            extras["train_graph"] = "scan" if scan else "unrolled"
+            extras["train_ms_per_step_b8"] = round(tr["ms_per_step"], 1)
+        except Exception as e:
+            extras["train_error"] = repr(e)[:200]
 
     if extras:
         _emit_line()  # enriched final line (superset of the headline line)

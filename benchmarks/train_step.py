@@ -20,12 +20,18 @@ import numpy as np
 
 def measure_train_step(batch=8, iters=8, num_frm=8, img_size=224, depth=12,
                        grad_ckpt=True, bert_grad_ckpt=None,
-                       remat_policy="nothing") -> dict:
+                       remat_policy="nothing", scan_blocks=True) -> dict:
     import jax
     import jax.numpy as jnp
 
     try:  # rbg PRNG: cheaper dropout mask generation (docs/PERF.md)
         jax.config.update("jax_default_prng_impl", "rbg")
+    except Exception:
+        pass
+    try:  # persistent compile cache: the unrolled graph compiles ~11 min
+        # cold through the tunnel but is cache-stable across runs
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
 
@@ -42,10 +48,11 @@ def measure_train_step(batch=8, iters=8, num_frm=8, img_size=224, depth=12,
         bert_grad_ckpt = grad_ckpt
     vis = TimeSformerConfig(
         img_size=img_size, patch_size=16, num_frames=num_frm,
-        depth=depth, drop_path_rate=0.1, scan_blocks=True,
+        depth=depth, drop_path_rate=0.1, scan_blocks=scan_blocks,
         gradient_checkpointing=grad_ckpt, remat_policy=remat_policy,
     )
-    bert = BertConfig(scan_blocks=True, gradient_checkpointing=bert_grad_ckpt,
+    bert = BertConfig(scan_blocks=scan_blocks,
+                      gradient_checkpointing=bert_grad_ckpt,
                       remat_policy=remat_policy)
     model = build_retrieval_model(bert, vis, dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
@@ -97,12 +104,14 @@ def main():
     ap.add_argument("--grad_ckpt", type=int, default=1)
     ap.add_argument("--remat_policy", type=str, default="dots",
                     choices=["nothing", "dots", "dots_all", "dots_names",
-                             "names"])
+                             "names", "dots_rng"])
+    ap.add_argument("--scan", type=int, default=1,
+                    help="scan_blocks (0 = unrolled block stack)")
     args = ap.parse_args()
     r = measure_train_step(
         batch=args.batch, iters=args.iters, num_frm=args.num_frm,
         img_size=args.img_size, depth=args.depth, grad_ckpt=bool(args.grad_ckpt),
-        remat_policy=args.remat_policy,
+        remat_policy=args.remat_policy, scan_blocks=bool(args.scan),
     )
     print(json.dumps({
         "metric": f"train clips/s (retrieval step, B={args.batch}, VTC+VTM, "
