@@ -19,12 +19,18 @@ import numpy as np
 
 
 def measure_pretrain_step(batch=8, iters=6, num_frm=4, img_size=224,
-                          use_mpm=True, remat_policy="nothing") -> dict:
+                          use_mpm=True, remat_policy="nothing",
+                          scan_blocks=True) -> dict:
     import jax
     import jax.numpy as jnp
 
     try:  # rbg PRNG: cheaper dropout mask generation (docs/PERF.md)
         jax.config.update("jax_default_prng_impl", "rbg")
+    except Exception:
+        pass
+    try:  # persistent compile cache (cold unrolled compiles ~10+ min)
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
 
@@ -39,10 +45,10 @@ def measure_pretrain_step(batch=8, iters=6, num_frm=4, img_size=224,
 
     vis = TimeSformerConfig(
         img_size=img_size, patch_size=16, num_frames=num_frm,
-        drop_path_rate=0.1, scan_blocks=True, gradient_checkpointing=True,
-        remat_policy=remat_policy,
+        drop_path_rate=0.1, scan_blocks=scan_blocks,
+        gradient_checkpointing=True, remat_policy=remat_policy,
     )
-    bert = BertConfig(scan_blocks=True, gradient_checkpointing=True,
+    bert = BertConfig(scan_blocks=scan_blocks, gradient_checkpointing=True,
                       remat_policy=remat_policy)
     model = build_pretrain_model(
         bert, vis, img_size=img_size, num_frm=num_frm, dtype=jnp.bfloat16
@@ -131,11 +137,14 @@ def main():
     ap.add_argument("--use_mpm", type=int, default=1)
     ap.add_argument("--remat_policy", type=str, default="dots",
                     choices=["nothing", "dots", "dots_all", "dots_names",
-                             "names"])
+                             "names", "dots_rng"])
+    ap.add_argument("--scan", type=int, default=1,
+                    help="scan_blocks (0 = unrolled block stack)")
     args = ap.parse_args()
     r = measure_pretrain_step(
         batch=args.batch, iters=args.iters, num_frm=args.num_frm,
         use_mpm=bool(args.use_mpm), remat_policy=args.remat_policy,
+        scan_blocks=bool(args.scan),
     )
     print(json.dumps({
         "metric": f"pretrain clips/s (VTC+VTM+MLM{'+MPM' if args.use_mpm else ''}, B={args.batch}, T={args.num_frm}, bf16)",
