@@ -11,6 +11,7 @@ Two tiers, mirroring the reference (`/root/reference/src/utils/load_save.py`):
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any, Optional
 
 import jax
@@ -70,11 +71,33 @@ class TrainingRestorer:
     the newer valid one wins at restore (reference double-buffer
     `restore.pt` / `restore_backup.pt`, `load_save.py:280-347`)."""
 
-    def __init__(self, output_dir: str, save_steps: int = 500):
+    def __init__(self, output_dir: str, save_steps: int = 500,
+                 async_save: bool = True):
         self.dir = os.path.abspath(os.path.join(output_dir, "restore"))
         os.makedirs(self.dir, exist_ok=True)
         self.save_steps = save_steps
         self._slot = 0
+        # Async saves overlap disk serialization with training (the reference
+        # blocks the step loop on torch.save, `load_save.py:320-334`). The
+        # device→host transfer still happens at the save boundary (caller's
+        # device_get); only the host-side write goes to the background.
+        self.async_save = bool(async_save) and _HAS_ORBAX
+        self._ckptr = (
+            ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+            if self.async_save
+            else None
+        )
+        self._pending: Optional[threading.Thread] = None
+
+    def _join_pending(self) -> None:
+        t, self._pending = self._pending, None
+        if t is not None:
+            t.join()
+
+    def wait_until_finished(self) -> None:
+        """Block until any in-flight async save has committed (call once at
+        the end of training so the final resume point is never lost)."""
+        self._join_pending()
 
     def due(self, global_step: int) -> bool:
         """Whether a resume checkpoint is due at this step. Callers must check
@@ -91,6 +114,24 @@ class TrainingRestorer:
         slot = "a" if self._slot == 0 else "b"
         self._slot ^= 1
         path = os.path.join(self.dir, slot)
+        step = int(np.asarray(jax.device_get(state.step)))
+        if self.async_save:
+            # one in-flight save at a time; a/b double-buffering means the
+            # slot being overwritten is never the newest-wins restore target
+            self._join_pending()
+            tree = _to_numpy_tree(state)
+            self._ckptr.save(path, args=ocp.args.StandardSave(tree), force=True)
+
+            def _finalize(ckptr=self._ckptr, path=path, step=step):
+                ckptr.wait_until_finished()
+                # marker only after the atomic orbax commit: a preemption
+                # mid-save leaves the previous slot as the restore target
+                with open(path + ".done", "w") as f:
+                    f.write(str(step))
+
+            self._pending = threading.Thread(target=_finalize, daemon=True)
+            self._pending.start()
+            return
         if _HAS_ORBAX:
             ckptr = ocp.StandardCheckpointer()
             ckptr.save(path, _to_numpy_tree(state), force=True)
@@ -101,7 +142,6 @@ class TrainingRestorer:
             with open(path + ".msgpack", "wb") as f:
                 f.write(flax.serialization.to_bytes(_to_numpy_tree(state)))
         # stamp completion marker with the step for newest-wins restore
-        step = int(np.asarray(jax.device_get(state.step)))
         with open(path + ".done", "w") as f:
             f.write(str(step))
 
@@ -116,6 +156,7 @@ class TrainingRestorer:
         return best
 
     def restore(self, target):
+        self._join_pending()
         slot = self.latest_slot()
         if slot is None:
             return None

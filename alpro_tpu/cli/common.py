@@ -495,6 +495,8 @@ def run_train_loop(
             break
     if profiling:
         jax.profiler.stop_trace()
+    if restorer is not None:
+        restorer.wait_until_finished()  # commit any in-flight async save
     return state
 
 

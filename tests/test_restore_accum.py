@@ -57,3 +57,43 @@ def test_resume_mid_accumulation(tmp_path):
         jax.tree_util.tree_leaves(state_rest.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def _tiny_state(step_val: int):
+    import optax
+
+    params = {"w": np.arange(4, dtype=np.float32) + step_val}
+    tx = optax.sgd(1e-2)
+    st = TrainState.create(params, tx)
+    return st.replace(step=jnp.asarray(step_val, jnp.int32))
+
+
+def test_async_save_newest_wins(tmp_path):
+    """Async saves commit in the background; the .done marker appears only
+    after the orbax commit, and alternating a/b slots restore newest-wins."""
+    restorer = TrainingRestorer(str(tmp_path), save_steps=1, async_save=True)
+    assert restorer.async_save  # orbax is baked into this environment
+    restorer.save(jax.device_get(_tiny_state(1)))
+    restorer.save(jax.device_get(_tiny_state(2)))  # joins the in-flight save
+    restorer.wait_until_finished()
+    assert restorer.latest_slot() == "b"
+    template = jax.device_get(_tiny_state(0))
+    restored = restorer.restore(template)
+    assert int(np.asarray(restored.step)) == 2
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["w"]), np.arange(4, dtype=np.float32) + 2
+    )
+    # third save overwrites slot a; restore (which joins pending) sees it
+    restorer.save(jax.device_get(_tiny_state(3)))
+    restored = restorer.restore(template)
+    assert int(np.asarray(restored.step)) == 3
+
+
+def test_sync_save_opt_out(tmp_path):
+    """async_save=False restores the blocking reference-style save path."""
+    restorer = TrainingRestorer(str(tmp_path), save_steps=1, async_save=False)
+    restorer.save(jax.device_get(_tiny_state(7)))
+    # marker must exist immediately after the synchronous save returns
+    assert restorer.latest_slot() == "a"
+    restored = restorer.restore(jax.device_get(_tiny_state(0)))
+    assert int(np.asarray(restored.step)) == 7
