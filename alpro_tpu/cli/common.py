@@ -347,6 +347,7 @@ def setup_training(cfg: Config, model: AlproModel, make_step: Callable,
         apply_weight_decay=bool(cfg.get("apply_weight_decay", False)),
         grad_norm=cfg.get("grad_norm", None),
         accum_steps=accum,
+        mu_dtype=cfg.get("adam_mu_dtype") or None,
     )
 
     params = init_params(model, cfg, seed=cfg.get("seed", 42))

@@ -140,6 +140,11 @@ def shared_training_args(parser: argparse.ArgumentParser) -> argparse.ArgumentPa
     parser.add_argument("--warmup_ratio", type=float, default=0.1)
     parser.add_argument("--transformer_lr_mul", type=float, default=1.0)
     parser.add_argument("--step_decay_epochs", type=int, nargs="+", default=None)
+    parser.add_argument("--adam_mu_dtype", type=str, default=None,
+                        choices=[None, "bfloat16", "float32"],
+                        help="AdamW first-moment storage dtype; bfloat16 "
+                             "halves m-state HBM (default fp32, reference "
+                             "parity)")
     parser.add_argument("--fp16", type=int, default=0)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--num_workers", type=int, default=4)

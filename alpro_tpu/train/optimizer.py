@@ -120,13 +120,20 @@ def build_optimizer(
     apply_weight_decay: bool = False,
     grad_norm: Optional[float] = None,
     accum_steps: int = 1,
+    mu_dtype: Optional[str] = None,
 ) -> optax.GradientTransformation:
     """`accum_steps > 1` wraps in optax.MultiSteps: gradients average over k
     micro-batches before one optimizer update — the reference's
     gradient_accumulation_steps with delayed allreduce
     (`run_video_retrieval.py:438-447`); under GSPMD the grads psum every
     micro-step instead, which is equivalent math with more comm (acceptable:
-    comm rides ICI and overlaps)."""
+    comm rides ICI and overlaps).
+
+    `mu_dtype='bfloat16'` stores the AdamW first moment in bf16 (optax
+    rounds on write, upcasts in the update): halves the m-state HBM
+    footprint/traffic. Default None keeps fp32, matching the reference's
+    fp32 optimizer state under apex O2 (`amp.initialize`,
+    `run_video_retrieval.py:329-331`)."""
     txs = []
     if grad_norm is not None and grad_norm > 0:
         txs.append(optax.clip_by_global_norm(grad_norm))
@@ -139,6 +146,7 @@ def build_optimizer(
             eps=eps,
             weight_decay=wd,
             mask=_wd_mask if wd > 0 else None,
+            mu_dtype=jnp.dtype(mu_dtype) if mu_dtype else None,
         )
     )
     tx = optax.chain(*txs)

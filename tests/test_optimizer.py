@@ -70,3 +70,42 @@ def test_multi_step_schedule_from_steps():
     np.testing.assert_allclose(
         float(jax.jit(sched)(25)), 0.5e-3, rtol=1e-6
     )
+
+
+def test_mu_dtype_bf16():
+    """mu_dtype='bfloat16' stores the AdamW first moment in bf16 and the
+    resulting updates track the fp32 optimizer closely on a quadratic."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from alpro_tpu.train.optimizer import build_optimizer
+
+    def run(mu_dtype):
+        tx = build_optimizer(
+            get_lr_schedule("constant", 1e-2, 100), grad_norm=1.0,
+            mu_dtype=mu_dtype,
+        )
+        params = {"w": jnp.full((64,), 3.0)}
+        opt = tx.init(params)
+        if mu_dtype == "bfloat16":
+            mus = [
+                leaf
+                for leaf in jax.tree_util.tree_leaves(opt)
+                if hasattr(leaf, "dtype") and leaf.dtype == jnp.bfloat16
+            ]
+            assert mus, "first moment not stored in bf16"
+
+        @jax.jit
+        def step(params, opt):
+            grads = jax.grad(lambda p: jnp.sum(p["w"] ** 2))(params)
+            upd, opt = tx.update(grads, opt, params)
+            return optax.apply_updates(params, upd), opt
+
+        for _ in range(20):
+            params, opt = step(params, opt)
+        return np.asarray(params["w"])
+
+    w32, wbf = run(None), run("bfloat16")
+    assert np.all(np.abs(wbf) < 3.0)  # it optimizes
+    np.testing.assert_allclose(wbf, w32, atol=5e-3)
