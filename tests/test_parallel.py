@@ -123,3 +123,58 @@ def test_temp_stays_clamped(tiny_model):
         state, _ = step(state, batch, jax.random.PRNGKey(i))
         t = float(state.params["params"]["temp"])
         assert 0.001 <= t <= 0.5
+
+
+def test_2d_mesh_dp_sp(tiny_model):
+    """One 2D (dp=4, sp=2) mesh serves both parallelisms at once: the train
+    step shards the batch over dp (sp replicated — GSPMD inserts the same
+    psum/gather collectives as the 1D mesh) and sequence-parallel temporal
+    attention shards the frame axis over sp of the SAME mesh. Validates the
+    multi-axis layout `core/mesh.py` promises."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from alpro_tpu.parallel.seq_parallel import sharded_temporal_attention
+
+    model, params, batch = tiny_model
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("dp", "sp"))
+
+    sched = get_lr_schedule("constant", 1e-3, 100)
+    tx = build_optimizer(sched, grad_norm=5.0)
+    step = make_retrieval_train_step(model, tx)
+    rng = jax.random.PRNGKey(42)
+
+    # single-device ground truth
+    state1 = TrainState.create(params, tx)
+    state1, m1 = jax.jit(step)(state1, batch, rng)
+
+    # dp-sharded step on the 2D mesh
+    state2d = replicate(mesh, TrainState.create(params, tx))
+    sbatch = shard_batch(mesh, batch)
+    state2d, m2d = shard_step(step, mesh, donate_state=False)(state2d, sbatch, rng)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2d["loss"]), rtol=1e-4)
+
+    # sp attention over the second axis of the same mesh
+    rng2 = np.random.RandomState(3)
+    BN, T, D, H = 4, 8, 16, 2  # T sharded 2-way over sp
+    x = rng2.randn(BN, T, D).astype(np.float32)
+    qkv_k = rng2.randn(D, 3 * D).astype(np.float32) * 0.1
+    qkv_b = np.zeros(3 * D, np.float32)
+    proj_k = rng2.randn(D, D).astype(np.float32) * 0.1
+    proj_b = np.zeros(D, np.float32)
+    x_sp = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(None, "sp", None)))
+    got = sharded_temporal_attention(
+        x_sp, jnp.asarray(qkv_k), jnp.asarray(qkv_b),
+        jnp.asarray(proj_k), jnp.asarray(proj_b), H, mesh, axis="sp",
+    )
+    # unsharded reference on one device
+    from alpro_tpu.ops.attention import multi_head_attention
+
+    hd = D // H
+    qkv = x @ qkv_k + qkv_b
+    qkv = qkv.reshape(BN, T, 3, H, hd)
+    q, k, v = (np.moveaxis(qkv[:, :, i], 1, 2) for i in range(3))
+    attn = np.asarray(multi_head_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), impl="xla"))
+    want = np.moveaxis(attn, 1, 2).reshape(BN, T, D) @ proj_k + proj_b
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=1e-4)
