@@ -88,11 +88,17 @@ class TrainingRestorer:
             else None
         )
         self._pending: Optional[threading.Thread] = None
+        self._pending_error: Optional[BaseException] = None
 
     def _join_pending(self) -> None:
         t, self._pending = self._pending, None
         if t is not None:
             t.join()
+        if self._pending_error is not None:
+            err, self._pending_error = self._pending_error, None
+            # a failed background commit must not be silent: the sync path
+            # raised in the train loop, so the async path re-raises on join
+            raise RuntimeError("async checkpoint save failed") from err
 
     def wait_until_finished(self) -> None:
         """Block until any in-flight async save has committed (call once at
@@ -123,11 +129,14 @@ class TrainingRestorer:
             self._ckptr.save(path, args=ocp.args.StandardSave(tree), force=True)
 
             def _finalize(ckptr=self._ckptr, path=path, step=step):
-                ckptr.wait_until_finished()
-                # marker only after the atomic orbax commit: a preemption
-                # mid-save leaves the previous slot as the restore target
-                with open(path + ".done", "w") as f:
-                    f.write(str(step))
+                try:
+                    ckptr.wait_until_finished()
+                    # marker only after the atomic orbax commit: a preemption
+                    # mid-save leaves the previous slot as the restore target
+                    with open(path + ".done", "w") as f:
+                        f.write(str(step))
+                except BaseException as e:  # surfaced on the next join
+                    self._pending_error = e
 
             self._pending = threading.Thread(target=_finalize, daemon=True)
             self._pending.start()

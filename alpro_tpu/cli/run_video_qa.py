@@ -27,9 +27,11 @@ from alpro_tpu.train.step import make_qa_inference_fn, make_qa_train_step
 def _mk_datasets(cfg: Config, tokenizer, split="train"):
     if split == "train":
         spec = cfg.train_datasets[0]
-    elif cfg.get("inference_txt_db"):
+    elif cfg.get("do_inference") and cfg.get("inference_txt_db"):
         # inference over explicit dbs (reference `run_video_qa.py:570-585`:
-        # inference builds its loader from inference_txt_db/inference_img_db)
+        # inference builds its loader from inference_txt_db/inference_img_db).
+        # Gated on do_inference: during TRAINING the val split must stay
+        # cfg.val_datasets even when inference dbs are configured for later.
         spec = {
             "txt": cfg.inference_txt_db,
             "img": cfg.get("inference_img_db")
@@ -54,7 +56,7 @@ def _mk_datasets(cfg: Config, tokenizer, split="train"):
         if split == "train" else "uniform",
         resize_size=cfg.resize_size, crop_size=cfg.crop_img_size,
         is_train=(split == "train"), seed=cfg.get("seed", 42),
-        return_label=True, task_type=task,
+        return_label=True, task_type=task, fps=cfg.get("fps", -1),
     )
     return ds
 

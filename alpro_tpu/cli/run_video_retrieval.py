@@ -41,7 +41,7 @@ def _mk_datasets(cfg: Config, tokenizer):
         num_frm=cfg.num_frm,
         frm_sampling_strategy=cfg.get("frm_sampling_strategy", "rand"),
         resize_size=cfg.resize_size, crop_size=cfg.crop_img_size,
-        seed=cfg.get("seed", 42),
+        seed=cfg.get("seed", 42), fps=cfg.get("fps", -1),
     )
     collator = RetrievalCollator(tokenizer, cfg.max_txt_len)
     train_loader = BatchLoader(
@@ -52,6 +52,7 @@ def _mk_datasets(cfg: Config, tokenizer):
     eval_ds = RetrievalEvalDataset(
         val_rows, cfg.val_datasets[0]["img"], num_frm=cfg.num_frm,
         resize_size=cfg.resize_size, crop_size=cfg.crop_img_size,
+        fps=cfg.get("fps", -1),
     )
     return train_loader, eval_ds, collator
 
@@ -252,6 +253,7 @@ def start_inference(cfg: Config):
     eval_ds = RetrievalEvalDataset(
         load_datalist(txt), img, num_frm=cfg.num_frm,
         resize_size=cfg.resize_size, crop_size=cfg.crop_img_size,
+        fps=cfg.get("fps", -1),
     )
     results = inference_retrieval(model, params, eval_ds, tokenizer, cfg)
     metrics = eval_retrieval(results, eval_ds.gt_txt_id2vid_id)

@@ -173,9 +173,11 @@ def shared_training_args(parser: argparse.ArgumentParser) -> argparse.ArgumentPa
                         choices=["bfloat16", "float32"])
     parser.add_argument("--profile", type=int, default=0,
                         help="trace 5 train steps with jax.profiler")
+    from alpro_tpu.models.remat import REMAT_POLICIES
+
     parser.add_argument(
         "--remat_policy", type=str, default="dots",
-        choices=["nothing", "dots", "dots_all", "dots_names", "names"],
+        choices=list(REMAT_POLICIES),
         help="what per-block gradient checkpointing keeps (models/remat.py);"
              " 'dots' measured fastest on TPU, 'nothing' = reference-"
              "equivalent full recompute",

@@ -9,19 +9,19 @@ measures the tunnel instead — reported separately as
 `host_fed_via_tunnel_clips_per_sec`).
 
 Output protocol (round-3 restructure; round 2's bench outgrew the driver
-timeout and recorded nothing):
+timeout and recorded nothing). EXACTLY ONE JSON line, rc 0, in every path:
   0. A subprocess TPU probe (tiny jitted matmul, hard-killed on timeout)
      gates everything: a dead tunnel relay makes device ops hang forever,
      so the probe retries through the budget (the tunnel can come back) and
-     otherwise emits the headline line with `tpu_unreachable: true`, rc 0.
+     otherwise the line carries `tpu_unreachable: true`.
   1. The headline is measured FIRST (one compile + two 16-iter trials) and
-     its JSON line printed immediately.
-  2. A watchdog thread hard-exits 0 at TOTAL_BUDGET_S (default 1140 s) so a
-     hung tunnel phase in any later stage can never produce rc=124.
-  3. Every later stage (decoder, host-fed, pipeline, train step, latency) is
-     optional, wrapped in try/except, and gated on remaining budget.
-  4. If any extra stage ran, one final ENRICHED line (same headline keys +
-     extras) is printed last; the driver can parse either line.
+     recorded; every later stage (decoder, host-fed, pipeline, train step,
+     latency) is optional, wrapped in try/except, and gated on remaining
+     budget — its results become extra keys on the same line.
+  2. The line is printed exactly once: by main() on completion/any raise, or
+     by the watchdog thread, which hard-exits 0 at TOTAL_BUDGET_S (default
+     1140 s) with whatever was measured — a hung tunnel phase can never
+     produce rc=124 or a missing line.
 
 Breakdown keys:
   * decode_clips_per_sec_1thread / _4thread — the standalone C++ FFmpeg
@@ -80,29 +80,41 @@ def _time_left() -> float:
 
 
 def _emit_line():
+    """Print THE one JSON line. Idempotent (first caller wins) and tolerant
+    of the main thread mutating extras concurrently (snapshot retried)."""
     with _lock:
+        if _state["printed"]:
+            return
+        for _attempt in range(3):
+            try:  # main thread writes extras without the lock; dict
+                # iteration can race a size change — retry the snapshot
+                snap = dict(_state["extras"])
+                break
+            except RuntimeError:
+                time.sleep(0.05)
+        else:
+            snap = {}
         line = {
             "metric": _HEADLINE_METRIC,
             "value": round(_state["value"], 2),
             "unit": "clips/s",
             "vs_baseline": round(_state["value"] / A100_BASELINE_CLIPS_PER_SEC, 3),
-            **{k: v for k, v in _state["extras"].items() if not k.startswith("_")},
+            **{k: v for k, v in snap.items() if not k.startswith("_")},
         }
         print(json.dumps(line), flush=True)
         _state["printed"] = True
 
 
 def _watchdog():
-    """Hard exit at the budget: the JSON line must already be out (or goes
-    out now, with whatever was measured) and rc must be 0."""
+    """Hard exit at the budget: the JSON line goes out now with whatever was
+    measured (value included if the headline stage finished) and rc is 0."""
     while True:
         left = _time_left()
         if left <= 0:
             break
         time.sleep(min(left, 5.0))
-    if not _state["printed"]:
-        _state["extras"]["budget_exceeded"] = True
-        _emit_line()
+    _state["extras"]["budget_exceeded"] = True
+    _emit_line()
     sys.stdout.flush()
     os._exit(0)
 
@@ -153,6 +165,8 @@ def _tpu_alive(timeout_s: float = 180.0) -> bool:
 
     code = (
         "import jax, jax.numpy as jnp\n"
+        # inline (not core.compile_cache): the -c subprocess must not
+        # depend on cwd/sys.path to import the repo
         "try:\n"
         "    jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_comp')\n"
         "    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)\n"
@@ -171,20 +185,30 @@ def _tpu_alive(timeout_s: float = 180.0) -> bool:
 
 
 def main():
+    """Exactly ONE JSON line in every path: _run measures (every failure
+    mode recorded into extras), the single emit happens here (or in the
+    watchdog on budget/hang), and rc is always 0."""
     threading.Thread(target=_watchdog, daemon=True).start()
-    extras = _state["extras"]
+    try:
+        _run(_state["extras"])
+    except BaseException as e:  # a raise anywhere must still emit the line
+        _state["extras"]["error"] = repr(e)[:300]
+    _emit_line()
+    sys.stdout.flush()
+    os._exit(0)
 
+
+def _run(extras):
     # ---- stage -1: TPU reachability gate, retried through the budget ----
     # If the tunnel is down but comes back mid-budget, we still measure; if
-    # it never comes back, emit the (honest) zero line with the reason.
+    # it never comes back, the (honest) zero line carries the reason.
     probes = 0
     while not _tpu_alive():
         probes += 1
         if _time_left() < 420:
             extras["tpu_unreachable"] = True
             extras["probe_attempts"] = probes
-            _emit_line()
-            os._exit(0)
+            return
         time.sleep(30.0)
     if probes:
         extras["tpu_probe_retries"] = probes
@@ -193,11 +217,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from alpro_tpu.core.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from alpro_tpu.models import TimeSformer, TimeSformerConfig
 
@@ -244,8 +266,7 @@ def main():
             acc = r if acc is None else acc + r
         _ = float(acc)  # readback closes the measured region
         resident_cps = max(resident_cps, B * n_iters / (time.perf_counter() - t0))
-    _state["value"] = resident_cps
-    _emit_line()  # headline is on the record from this point on
+    _state["value"] = resident_cps  # on the record: watchdog/main emit it
 
     # ---- optional stages, each budget-gated and non-fatal ----
     paths = []
@@ -329,11 +350,7 @@ def main():
             extras["train_ms_per_step_b8"] = round(tr["ms_per_step"], 1)
         except Exception as e:
             extras["train_error"] = repr(e)[:200]
-
-    if extras:
-        _emit_line()  # enriched final line (superset of the headline line)
-    sys.stdout.flush()
-    os._exit(0)
+    # the single JSON line is emitted by main() on return
 
 
 def _pipeline_decode_embed(paths, embed_checksum, params) -> float:

@@ -21,11 +21,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from alpro_tpu.core.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from alpro_tpu.models import TimeSformer, TimeSformerConfig
 

@@ -28,11 +28,9 @@ def measure_pretrain_step(batch=8, iters=6, num_frm=4, img_size=224,
         jax.config.update("jax_default_prng_impl", "rbg")
     except Exception:
         pass
-    try:  # persistent compile cache (cold unrolled compiles ~10+ min)
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from alpro_tpu.core.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from alpro_tpu.models import (
         BertConfig,

@@ -29,12 +29,9 @@ def measure_train_step(batch=8, iters=8, num_frm=8, img_size=224, depth=12,
         jax.config.update("jax_default_prng_impl", "rbg")
     except Exception:
         pass
-    try:  # persistent compile cache: the unrolled graph compiles ~11 min
-        # cold through the tunnel but is cache-stable across runs
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from alpro_tpu.core.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from alpro_tpu.models import BertConfig, TimeSformerConfig, build_retrieval_model
     from alpro_tpu.train import TrainState, build_optimizer, get_lr_schedule
