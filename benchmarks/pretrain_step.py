@@ -20,7 +20,7 @@ import numpy as np
 
 def measure_pretrain_step(batch=8, iters=6, num_frm=4, img_size=224,
                           use_mpm=True, remat_policy="nothing",
-                          scan_blocks=True) -> dict:
+                          scan_blocks=True, mu_dtype=None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -99,7 +99,8 @@ def measure_pretrain_step(batch=8, iters=6, num_frm=4, img_size=224,
         b = rng.randn(1000, 256).astype(np.float32)
         bank = jnp.asarray(b / np.linalg.norm(b, axis=-1, keepdims=True))
 
-    tx = build_optimizer(get_lr_schedule("linear", 1e-4, 1000), grad_norm=5.0)
+    tx = build_optimizer(get_lr_schedule("linear", 1e-4, 1000), grad_norm=5.0,
+                         mu_dtype=mu_dtype)
     step = jax.jit(
         make_pretrain_train_step(model, tx, use_mpm=use_mpm, teacher=teacher),
         donate_argnums=(0,),
@@ -138,11 +139,13 @@ def main():
                              "names", "dots_rng"])
     ap.add_argument("--scan", type=int, default=1,
                     help="scan_blocks (0 = unrolled block stack)")
+    ap.add_argument("--mu_dtype", type=str, default=None,
+                    help="AdamW first-moment dtype (e.g. bfloat16)")
     args = ap.parse_args()
     r = measure_pretrain_step(
         batch=args.batch, iters=args.iters, num_frm=args.num_frm,
         use_mpm=bool(args.use_mpm), remat_policy=args.remat_policy,
-        scan_blocks=bool(args.scan),
+        scan_blocks=bool(args.scan), mu_dtype=args.mu_dtype,
     )
     print(json.dumps({
         "metric": f"pretrain clips/s (VTC+VTM+MLM{'+MPM' if args.use_mpm else ''}, B={args.batch}, T={args.num_frm}, bf16)",
