@@ -77,3 +77,22 @@ def test_evaluate_qa_per_type():
     np.testing.assert_allclose(m["what_acc"], 0.5)
     np.testing.assert_allclose(m["who_acc"], 1.0)
     assert m["ratios"]["what_ratio"][1] == 2
+
+
+def test_eval_retrieval_rejects_multi_caption_v2t():
+    """The v2t GT inversion keeps one caption per video, which is only valid
+    for 1:1 protocols (MSRVTT-1k, DiDeMo). Multi-caption eval sets must be
+    rejected loudly instead of silently scoring one caption per video."""
+    import numpy as np
+    import pytest
+
+    from alpro_tpu.evals.retrieval import eval_retrieval
+
+    # 2 captions -> 1 video: inversion would silently drop one caption
+    results = [
+        {"txt_id": "t0", "vid_id": "v0", "score": 0.9, "sim": 0.5},
+        {"txt_id": "t1", "vid_id": "v0", "score": 0.8, "sim": 0.4},
+    ]
+    gt = {"t0": "v0", "t1": "v0"}
+    with pytest.raises(AssertionError):
+        eval_retrieval(results, gt)
