@@ -56,6 +56,7 @@ class RetrievalIndex:
         self.topk = int(topk)
         if weights not in ("bf16", "int8"):
             raise ValueError(f"weights must be 'bf16' or 'int8', got {weights!r}")
+        self.weights = weights
         wrap = lambda f: f  # noqa: E731
         if weights == "int8":
             from alpro_tpu.ops.quant import quantize_tree, wrap_dequant

@@ -1,0 +1,162 @@
+"""Mesh-sharded retrieval gallery: serve galleries bigger than one chip.
+
+`RetrievalIndex` holds two device banks per gallery: the 256-d VTC features
+(small) and the (1+N, D) fusion token bank — ~300 KB/video in bf16, i.e. the
+HBM ceiling for a single chip is a few tens of thousands of videos. This
+module shards BOTH banks row-wise over a `dp` mesh and replaces the global
+argmax with the classic two-stage distributed top-k:
+
+  1. every device scores the query against ITS shard of the feature bank and
+     takes a local top-k (with its k candidate token rows gathered locally —
+     never the whole bank);
+  2. the (n_dev × k) candidates — a few MB — ride one `all_gather` over ICI;
+  3. a global top-k over n_dev·k survivors feeds the VTM rerank (replicated,
+     k is small).
+
+The naive alternative (`jnp.take` straight from the sharded token bank)
+risks GSPMD materializing a full bank all-gather; the shard_map form pins
+the collective to exactly k rows per device. No reference counterpart (the
+reference has no serving surface at all); extends
+`serving/retrieval.py::RetrievalIndex` which documents the query protocol.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from alpro_tpu.serving.retrieval import RetrievalIndex
+
+
+class ShardedRetrievalIndex(RetrievalIndex):
+    """RetrievalIndex with gallery banks sharded over a mesh's `dp` axis.
+
+    >>> mesh = make_mesh()                       # dp over all devices
+    >>> idx = ShardedRetrievalIndex(model, params, tokenizer, mesh=mesh)
+    >>> idx.add_videos(clips, ids)               # same API as RetrievalIndex
+    >>> idx.query("a dog catches a frisbee")     # identical results, sharded
+    """
+
+    def __init__(self, model, params, tokenizer, mesh, axis: str = "dp",
+                 **kw):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        super().__init__(model, params, tokenizer, **kw)
+        self.mesh = mesh
+        self.axis = axis
+        self.n_dev = int(mesh.shape[axis])
+        # params (possibly a QTensor tree) replicated over the mesh so the
+        # towers compute identically on every device
+        self.params = jax.device_put(
+            self.params, NamedSharding(mesh, P())
+        )
+        self._n_valid = 0
+        self._query_fns = {}  # k -> jitted query fn (shape-specialized)
+
+    # -- sharded banks -------------------------------------------------------
+    def _device_banks(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if self._bank is None:
+            assert self.ids, "empty index — add_videos first"
+            feats = np.concatenate(self._feat_chunks, axis=0)
+            tokens = np.concatenate(self._token_chunks, axis=0)
+            self._n_valid = feats.shape[0]
+            pad = (-feats.shape[0]) % self.n_dev
+            if pad:  # zero rows; masked to -inf sim before any top-k
+                feats = np.concatenate(
+                    [feats, np.zeros((pad,) + feats.shape[1:], feats.dtype)]
+                )
+                tokens = np.concatenate(
+                    [tokens, np.zeros((pad,) + tokens.shape[1:], tokens.dtype)]
+                )
+            self._bank = (
+                jax.device_put(
+                    jnp.asarray(feats),
+                    NamedSharding(self.mesh, P(self.axis, None)),
+                ),
+                jax.device_put(
+                    jnp.asarray(tokens),
+                    NamedSharding(self.mesh, P(self.axis, None, None)),
+                ),
+            )
+        return self._bank
+
+    # -- one-dispatch sharded query ------------------------------------------
+    def _query_fn(self, k: int):
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from alpro_tpu.train.step import (
+            make_fusion_score_fn,
+            make_text_encode_fn,
+        )
+
+        if k in self._query_fns:
+            return self._query_fns[k]
+
+        encode = make_text_encode_fn(self.model)
+        fusion = make_fusion_score_fn(self.model)
+        axis, mesh = self.axis, self.mesh
+
+        def local_topk(feats_l, tokens_l, tfeat, n_valid):
+            # returns the LOCAL kk survivors; the sharded out_specs stitch
+            # them into (n_dev·kk, ...) global arrays — the implicit gather
+            # moves exactly kk rows per device, never the bank
+            nl = feats_l.shape[0]
+            kk = min(k, nl)
+            sims = (tfeat @ feats_l.T)[0]
+            gidx0 = jax.lax.axis_index(axis) * nl
+            gi = gidx0 + jnp.arange(nl)
+            sims = jnp.where(gi < n_valid, sims, -jnp.inf)
+            s, i = jax.lax.top_k(sims, kk)
+            t = jnp.take(tokens_l, i, axis=0)  # local gather: kk rows only
+            g = gidx0 + i
+            return s, t, g
+
+        def qfn(params, feats, tokens, n_valid, ids, mask):
+            if self.weights == "int8":  # dequantize once inside jit
+                from alpro_tpu.ops.quant import dequantize_tree
+
+                params = dequantize_tree(params)
+            text_embeds, tfeat = encode(params, {
+                "text_input_ids": ids, "text_input_mask": mask,
+            })
+            s_all, t_all, g_all = shard_map(
+                local_topk, mesh=mesh,
+                in_specs=(P(axis, None), P(axis, None, None), P(), P()),
+                out_specs=(P(axis), P(axis, None, None), P(axis)),
+            )(feats, tokens, tfeat, n_valid)
+            top_s, j = jax.lax.top_k(s_all, k)
+            cand = jnp.take(t_all, j, axis=0)
+            gidx = jnp.take(g_all, j)
+            te = jnp.broadcast_to(text_embeds, (k,) + text_embeds.shape[1:])
+            mk = jnp.broadcast_to(mask, (k,) + mask.shape[1:])
+            logits = fusion(params, te, mk, cand)
+            probs = jax.nn.softmax(logits, axis=-1)[:, 1]
+            return probs, top_s, gidx
+
+        self._query_fns[k] = jax.jit(qfn)
+        return self._query_fns[k]
+
+    def query(
+        self, text: str, topk: Optional[int] = None
+    ) -> List[Tuple[str, float, float]]:
+        k = min(topk or self.topk, len(self.ids))
+        feats, tokens = self._device_banks()
+        ids, mask = self._tokenize(text)
+        probs, sims, gidx = self._query_fn(k)(
+            self.params, feats, tokens, self._n_valid, ids, mask
+        )
+        probs, sims, gidx = np.asarray(probs), np.asarray(sims), np.asarray(gidx)
+        order = np.argsort(-probs, kind="stable")
+        return [
+            (self.ids[int(gidx[j])], float(probs[j]), float(sims[j]))
+            for j in order
+        ]

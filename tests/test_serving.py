@@ -121,3 +121,60 @@ def test_qa_predictor_multiclip():
     }))
     want = int(np.argmax(qa_evals.pool_clip_logits(logits[:, None, :])[0]))
     assert res[0][0] == qa.label2ans[want]
+
+
+def test_sharded_index_matches_single_device(small_index):
+    """ShardedRetrievalIndex over the 8-device mesh == RetrievalIndex:
+    same ids, same ranking, same probs/sims — with a gallery size (6) that
+    does NOT divide the mesh (pad rows must never surface)."""
+    from alpro_tpu.core.mesh import make_mesh
+    from alpro_tpu.serving import ShardedRetrievalIndex
+
+    idx, clips = small_index
+    mesh = make_mesh()
+    sidx = ShardedRetrievalIndex(
+        idx.model, idx.params, idx.tokenizer, mesh=mesh, max_txt_len=8, topk=3
+    )
+    more = np.concatenate([clips, clips[:2]])  # 6 videos: 8 ∤ 6
+    ref = RetrievalIndex(idx.model, idx.params, idx.tokenizer,
+                         max_txt_len=8, topk=3)
+    for lo, hi, ids in ((0, 4, ["v0", "v1", "v2", "v3"]), (4, 6, ["v4", "v5"])):
+        sidx.add_videos(more[lo:hi], ids=ids)
+        ref.add_videos(more[lo:hi], ids=ids)
+
+    for q, k in (("a dog runs", 3), ("the cat jumps", 5), ("hello", 6)):
+        got = sidx.query(q, topk=k)
+        want = ref.query(q, topk=k)
+        assert [g[0] for g in got] == [w[0] for w in want], (q, got, want)
+        np.testing.assert_allclose(
+            [g[1] for g in got], [w[1] for w in want], rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            [g[2] for g in got], [w[2] for w in want], rtol=1e-4, atol=1e-5
+        )
+
+
+def test_sharded_index_int8(small_index):
+    """Sharded + int8 weight storage compose: ranking equals the unsharded
+    int8 index (both dequantize the same QTensor tree)."""
+    from alpro_tpu.core.mesh import make_mesh
+    from alpro_tpu.serving import ShardedRetrievalIndex
+
+    idx, clips = small_index
+    # re-derive fp32 params from the fixture's (bf16-cast) tree
+    params = idx.params
+    mesh = make_mesh()
+    sidx = ShardedRetrievalIndex(
+        idx.model, params, idx.tokenizer, mesh=mesh, max_txt_len=8, topk=3,
+        weights="int8",
+    )
+    ref = RetrievalIndex(idx.model, params, idx.tokenizer, max_txt_len=8,
+                         topk=3, weights="int8")
+    sidx.add_videos(clips, ids=["v0", "v1", "v2", "v3"])
+    ref.add_videos(clips, ids=["v0", "v1", "v2", "v3"])
+    got = sidx.query("a dog runs", topk=4)
+    want = ref.query("a dog runs", topk=4)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    np.testing.assert_allclose(
+        [g[1] for g in got], [w[1] for w in want], rtol=1e-4, atol=1e-5
+    )
