@@ -106,17 +106,18 @@ class ShardedRetrievalIndex(RetrievalIndex):
         axis, mesh = self.axis, self.mesh
 
         def local_topk(feats_l, tokens_l, tfeat, n_valid):
-            # returns the LOCAL kk survivors; the sharded out_specs stitch
-            # them into (n_dev·kk, ...) global arrays — the implicit gather
-            # moves exactly kk rows per device, never the bank
+            # returns the LOCAL kk survivors per query; the sharded
+            # out_specs stitch them into (B, n_dev·kk, ...) global arrays —
+            # the implicit gather moves exactly kk rows per (query, device),
+            # never the bank
             nl = feats_l.shape[0]
             kk = min(k, nl)
-            sims = (tfeat @ feats_l.T)[0]
+            sims = tfeat @ feats_l.T  # (B, nl)
             gidx0 = jax.lax.axis_index(axis) * nl
             gi = gidx0 + jnp.arange(nl)
-            sims = jnp.where(gi < n_valid, sims, -jnp.inf)
-            s, i = jax.lax.top_k(sims, kk)
-            t = jnp.take(tokens_l, i, axis=0)  # local gather: kk rows only
+            sims = jnp.where(gi[None, :] < n_valid, sims, -jnp.inf)
+            s, i = jax.lax.top_k(sims, kk)      # (B, kk)
+            t = jnp.take(tokens_l, i, axis=0)   # (B, kk, 1+N, D) local rows
             g = gidx0 + i
             return s, t, g
 
@@ -128,35 +129,59 @@ class ShardedRetrievalIndex(RetrievalIndex):
             text_embeds, tfeat = encode(params, {
                 "text_input_ids": ids, "text_input_mask": mask,
             })
+            B = ids.shape[0]
             s_all, t_all, g_all = shard_map(
                 local_topk, mesh=mesh,
                 in_specs=(P(axis, None), P(axis, None, None), P(), P()),
-                out_specs=(P(axis), P(axis, None, None), P(axis)),
+                out_specs=(P(None, axis), P(None, axis, None, None),
+                           P(None, axis)),
             )(feats, tokens, tfeat, n_valid)
-            top_s, j = jax.lax.top_k(s_all, k)
-            cand = jnp.take(t_all, j, axis=0)
-            gidx = jnp.take(g_all, j)
-            te = jnp.broadcast_to(text_embeds, (k,) + text_embeds.shape[1:])
-            mk = jnp.broadcast_to(mask, (k,) + mask.shape[1:])
+            top_s, j = jax.lax.top_k(s_all, k)  # (B, k) over n_dev·kk
+            cand = jnp.take_along_axis(
+                t_all, j[:, :, None, None], axis=1
+            ).reshape((B * k,) + t_all.shape[2:])
+            gidx = jnp.take_along_axis(g_all, j, axis=1)
+            te = jnp.repeat(text_embeds, k, axis=0)   # query-major (B·k, L, D)
+            mk = jnp.repeat(mask, k, axis=0)
             logits = fusion(params, te, mk, cand)
-            probs = jax.nn.softmax(logits, axis=-1)[:, 1]
+            probs = jax.nn.softmax(logits, axis=-1)[:, 1].reshape(B, k)
             return probs, top_s, gidx
 
         self._query_fns[k] = jax.jit(qfn)
         return self._query_fns[k]
 
+    def _query_many(self, texts: List[str], k: int):
+        import jax.numpy as jnp
+
+        feats, tokens = self._device_banks()
+        enc = self.tokenizer(list(texts), max_length=self.max_txt_len)
+        ids = jnp.asarray(np.asarray(enc["input_ids"], dtype=np.int32))
+        mask = jnp.asarray(np.asarray(enc["attention_mask"], dtype=np.int32))
+        probs, sims, gidx = self._query_fn(k)(
+            self.params, feats, tokens, self._n_valid, ids, mask
+        )
+        out = []
+        probs, sims, gidx = np.asarray(probs), np.asarray(sims), np.asarray(gidx)
+        for b in range(len(texts)):
+            order = np.argsort(-probs[b], kind="stable")
+            out.append([
+                (self.ids[int(gidx[b, j])], float(probs[b, j]),
+                 float(sims[b, j]))
+                for j in order
+            ])
+        return out
+
     def query(
         self, text: str, topk: Optional[int] = None
     ) -> List[Tuple[str, float, float]]:
         k = min(topk or self.topk, len(self.ids))
-        feats, tokens = self._device_banks()
-        ids, mask = self._tokenize(text)
-        probs, sims, gidx = self._query_fn(k)(
-            self.params, feats, tokens, self._n_valid, ids, mask
-        )
-        probs, sims, gidx = np.asarray(probs), np.asarray(sims), np.asarray(gidx)
-        order = np.argsort(-probs, kind="stable")
-        return [
-            (self.ids[int(gidx[j])], float(probs[j]), float(sims[j]))
-            for j in order
-        ]
+        return self._query_many([text], k)[0]
+
+    def query_batch(
+        self, texts: List[str], topk: Optional[int] = None
+    ) -> List[List[Tuple[str, float, float]]]:
+        """B queries in one device dispatch: the text tower, the sharded
+        candidate generation, and the (B·k)-pair VTM rerank all batch —
+        the serving-throughput shape (jit specializes per (B, k))."""
+        k = min(topk or self.topk, len(self.ids))
+        return self._query_many(texts, k)

@@ -178,3 +178,25 @@ def test_sharded_index_int8(small_index):
     np.testing.assert_allclose(
         [g[1] for g in got], [w[1] for w in want], rtol=1e-4, atol=1e-5
     )
+
+
+def test_sharded_query_batch(small_index):
+    """query_batch == per-query loop, one dispatch for B texts."""
+    from alpro_tpu.core.mesh import make_mesh
+    from alpro_tpu.serving import ShardedRetrievalIndex
+
+    idx, clips = small_index
+    mesh = make_mesh()
+    sidx = ShardedRetrievalIndex(
+        idx.model, idx.params, idx.tokenizer, mesh=mesh, max_txt_len=8, topk=3
+    )
+    sidx.add_videos(clips, ids=["v0", "v1", "v2", "v3"])
+    texts = ["a dog runs", "the cat jumps", "hello"]
+    batched = sidx.query_batch(texts, topk=3)
+    assert len(batched) == 3
+    for t, got in zip(texts, batched):
+        want = sidx.query(t, topk=3)
+        assert [g[0] for g in got] == [w[0] for w in want]
+        np.testing.assert_allclose(
+            [g[1] for g in got], [w[1] for w in want], rtol=1e-4, atol=1e-5
+        )
