@@ -59,8 +59,12 @@ def load_params(path: str, target: Optional[Any] = None) -> Any:
     assert _HAS_ORBAX, "orbax unavailable and no msgpack checkpoint found"
     ckptr = ocp.StandardCheckpointer()
     if target is not None:
+        # read shapes/dtypes without materializing device arrays on host
         abstract = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), target
+            lambda x: jax.ShapeDtypeStruct(
+                np.shape(x), getattr(x, "dtype", None) or np.asarray(x).dtype
+            ),
+            target,
         )
         return ckptr.restore(path, abstract)
     return ckptr.restore(path)
@@ -120,6 +124,13 @@ class TrainingRestorer:
         slot = "a" if self._slot == 0 else "b"
         self._slot ^= 1
         path = os.path.join(self.dir, slot)
+        # invalidate the slot's marker BEFORE overwriting its data: a
+        # preemption mid-overwrite must fall back to the OTHER slot, never
+        # restore a stale marker over partial/deleted data
+        try:
+            os.remove(path + ".done")
+        except FileNotFoundError:
+            pass
         step = int(np.asarray(jax.device_get(state.step)))
         if self.async_save:
             # one in-flight save at a time; a/b double-buffering means the
@@ -169,4 +180,8 @@ class TrainingRestorer:
         slot = self.latest_slot()
         if slot is None:
             return None
+        # seed the alternation so the NEXT save overwrites the OLDER slot —
+        # a fresh post-preemption restorer starting at 'a' would otherwise
+        # clobber the newest checkpoint first, breaking the double buffer
+        self._slot = 1 if slot == "a" else 0
         return load_params(os.path.join(self.dir, slot), target)

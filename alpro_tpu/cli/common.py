@@ -431,8 +431,10 @@ def run_train_loop(
         return shard_batch(mesh, _drop_non_arrays(batch)), extras
 
     prefetch_depth = int(cfg.get("prefetch_depth", 2))
+    prefetcher = None
     if prefetch_depth > 0:
-        staged_iter = DevicePrefetcher(train_iter, _stage, depth=prefetch_depth)
+        prefetcher = DevicePrefetcher(train_iter, _stage, depth=prefetch_depth)
+        staged_iter = prefetcher
     else:
         staged_iter = map(_stage, train_iter)
 
@@ -453,51 +455,57 @@ def run_train_loop(
     # --profile 1: trace steps [start+2, start+7) to TensorBoard format
     profiling = False
     t0 = time.time()
-    for global_step in range(start_step, num_train_steps):
-        if cfg.get("profile") and cfg.get("output_dir"):
-            if global_step == start_step + 2 and not profiling:
-                trace_dir = os.path.join(cfg.output_dir, "profile")
-                os.makedirs(trace_dir, exist_ok=True)
-                jax.profiler.start_trace(trace_dir)
-                profiling = True
-            elif global_step == start_step + 7 and profiling:
-                jax.profiler.stop_trace()
-                profiling = False
-                LOGGER.info("wrote profiler trace to %s/profile", cfg.output_dir)
-        dbatch, extras = next(staged_iter)
-        state, metrics = step_fn(state, dbatch, rng, *(extras or step_extra_args))
-        # metrics stay on device; materializing them every step would force a
-        # host sync per step (the reference's per-step loss.item() hazard,
-        # SURVEY.md §3 hot-loop notes). Sample them at the log cadence.
-        if (global_step + 1) % log_interval == 0 or debug:
-            for k, v in metrics.items():
-                meters.setdefault(k, RunningMeter(k))(float(v))
-        if (global_step + 1) % log_interval == 0:
-            rate = (global_step + 1 - start_step) / (time.time() - t0)
-            LOGGER.info(
-                "step %d/%d (%.2f it/s): %s",
-                global_step + 1, num_train_steps, rate,
-                "  ".join(str(m) for m in meters.values()),
-            )
-            TB_LOGGER.log_scalar_dict(
-                {m.name: m.val for m in meters.values()}, prefix="train"
-            )
-        if (global_step + 1) % valid_steps == 0 or debug:
-            if validate_fn is not None:
-                validate_fn(state, global_step + 1)
-            if save_model_fn is not None:
-                save_model_fn(state, global_step + 1)
-        if restorer is not None and restorer.due(global_step + 1):
-            # the device_get (full params + optimizer state) happens only on
-            # save boundaries; doing it per-step would block async dispatch
-            restorer.save(jax.device_get(state))
-        if debug and global_step - start_step >= 3:
-            LOGGER.info("debug mode: stopping after %d steps", global_step + 1)
-            break
-    if profiling:
-        jax.profiler.stop_trace()
-    if restorer is not None:
-        restorer.wait_until_finished()  # commit any in-flight async save
+    try:
+        for global_step in range(start_step, num_train_steps):
+            if cfg.get("profile") and cfg.get("output_dir"):
+                if global_step == start_step + 2 and not profiling:
+                    trace_dir = os.path.join(cfg.output_dir, "profile")
+                    os.makedirs(trace_dir, exist_ok=True)
+                    jax.profiler.start_trace(trace_dir)
+                    profiling = True
+                elif global_step == start_step + 7 and profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    LOGGER.info("wrote profiler trace to %s/profile", cfg.output_dir)
+            dbatch, extras = next(staged_iter)
+            state, metrics = step_fn(state, dbatch, rng, *(extras or step_extra_args))
+            # metrics stay on device; materializing them every step would force a
+            # host sync per step (the reference's per-step loss.item() hazard,
+            # SURVEY.md §3 hot-loop notes). Sample them at the log cadence.
+            if (global_step + 1) % log_interval == 0 or debug:
+                for k, v in metrics.items():
+                    meters.setdefault(k, RunningMeter(k))(float(v))
+            if (global_step + 1) % log_interval == 0:
+                rate = (global_step + 1 - start_step) / (time.time() - t0)
+                LOGGER.info(
+                    "step %d/%d (%.2f it/s): %s",
+                    global_step + 1, num_train_steps, rate,
+                    "  ".join(str(m) for m in meters.values()),
+                )
+                TB_LOGGER.log_scalar_dict(
+                    {m.name: m.val for m in meters.values()}, prefix="train"
+                )
+            if (global_step + 1) % valid_steps == 0 or debug:
+                if validate_fn is not None:
+                    validate_fn(state, global_step + 1)
+                if save_model_fn is not None:
+                    save_model_fn(state, global_step + 1)
+            if restorer is not None and restorer.due(global_step + 1):
+                # the device_get (full params + optimizer state) happens only on
+                # save boundaries; doing it per-step would block async dispatch
+                restorer.save(jax.device_get(state))
+            if debug and global_step - start_step >= 3:
+                LOGGER.info("debug mode: stopping after %d steps", global_step + 1)
+                break
+        if profiling:
+            jax.profiler.stop_trace()
+        if restorer is not None:
+            restorer.wait_until_finished()  # commit any in-flight async save
+    finally:
+        if prefetcher is not None:
+            # unblock + drain the staging thread: abandoned prefetchers
+            # pin `depth` device batches in HBM for the process lifetime
+            prefetcher.close()
     return state
 
 

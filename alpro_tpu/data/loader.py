@@ -62,7 +62,10 @@ class BatchLoader:
         self.prefetch_factor = prefetch_factor
 
     def __len__(self) -> int:
-        n = len(self.dataset) // self.num_shards
+        # ceil-divide like torch's DistributedSampler: every shard is padded
+        # to the same size (wrap-around), so __len__ == yielded batch count
+        # on every host — lockstep consumers never desync
+        n = -(-len(self.dataset) // self.num_shards)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -73,6 +76,12 @@ class BatchLoader:
             rng = np.random.default_rng(self._seed + self._epoch)
             rng.shuffle(order)
         if self.num_shards > 1:
+            # pad with wrapped-around indices to a multiple of num_shards
+            # (the reference's DistributedSampler padding,
+            # `run_video_retrieval.py:115-117`), then stride
+            total = -(-len(order) // self.num_shards) * self.num_shards
+            if total > len(order):
+                order = np.concatenate([order, order[: total - len(order)]])
             order = order[self.shard_id :: self.num_shards]
         n = len(order)
         self._epoch += 1
@@ -142,6 +151,10 @@ class MetaLoader:
             ],
             dtype=np.float64,
         )
+        assert weights.sum() > 0, (
+            "every loader has zero weight (empty dataset or batch_size > "
+            f"len(dataset) with drop_last?): {dict(zip(self.names, weights))}"
+        )
         self.probs = weights / weights.sum()
         self.accum_steps = accum_steps
         self.rng = np.random.default_rng(seed)
@@ -171,15 +184,27 @@ class DevicePrefetcher:
         self._put = put
         self._q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
         self._done = object()
+        self._err: Optional[BaseException] = None
+        self._closed = False
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def _worker(self):
         try:
             for item in self._it:
-                self._q.put(self._put(item))
+                staged = self._put(item)
+                if self._closed:
+                    break
+                self._q.put(staged)
+        except BaseException as e:  # surfaced to the consumer, not swallowed
+            self._err = e
         finally:
-            self._q.put(self._done)
+            while not self._closed:  # guaranteed delivery unless closed
+                try:
+                    self._q.put(self._done, timeout=0.5)
+                    break
+                except queue_mod.Full:
+                    continue
 
     def __iter__(self):
         return self
@@ -187,5 +212,27 @@ class DevicePrefetcher:
     def __next__(self):
         item = self._q.get()
         if item is self._done:
+            if self._err is not None:
+                raise RuntimeError(
+                    "prefetch worker failed (decode/collate/staging)"
+                ) from self._err
             raise StopIteration
         return item
+
+    def close(self):
+        """Stop the worker and drop staged batches — call when abandoning
+        the iterator early, or depth device batches stay pinned in HBM for
+        the process lifetime (the producer blocks on the full queue)."""
+        self._closed = True
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue_mod.Empty:
+            pass
+        self._thread.join(timeout=30.0)
+        # release anything the producer squeezed in during the join
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue_mod.Empty:
+            pass

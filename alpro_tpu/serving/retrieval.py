@@ -118,7 +118,9 @@ class RetrievalIndex:
         import jax
         import jax.numpy as jnp
 
-        k = min(topk or self.topk, len(self.ids))
+        k = min(self.topk if topk is None else int(topk), len(self.ids))
+        if k < 1:
+            raise ValueError(f"topk must be >= 1 (got {topk!r})")
         feats, tokens = self._device_banks()
         ids, mask = self._tokenize(text)
 

@@ -174,7 +174,9 @@ class ShardedRetrievalIndex(RetrievalIndex):
     def query(
         self, text: str, topk: Optional[int] = None
     ) -> List[Tuple[str, float, float]]:
-        k = min(topk or self.topk, len(self.ids))
+        k = min(self.topk if topk is None else int(topk), len(self.ids))
+        if k < 1:
+            raise ValueError(f"topk must be >= 1 (got {topk!r})")
         return self._query_many([text], k)[0]
 
     def query_batch(
@@ -183,5 +185,7 @@ class ShardedRetrievalIndex(RetrievalIndex):
         """B queries in one device dispatch: the text tower, the sharded
         candidate generation, and the (B·k)-pair VTM rerank all batch —
         the serving-throughput shape (jit specializes per (B, k))."""
-        k = min(topk or self.topk, len(self.ids))
+        k = min(self.topk if topk is None else int(topk), len(self.ids))
+        if k < 1:
+            raise ValueError(f"topk must be >= 1 (got {topk!r})")
         return self._query_many(texts, k)

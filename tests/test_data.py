@@ -431,3 +431,70 @@ def test_pretrain_image_dataset_reference_aug_pipeline(tmp_path):
     a, b = ds_eval[1]["clip"], ds_eval[1]["clip"]
     np.testing.assert_array_equal(a, b)
     assert a.shape == (3, 32, 32, 3)
+
+
+def test_batchloader_shards_equal_size():
+    """Shards pad with wrap-around like torch's DistributedSampler: every
+    shard yields the SAME number of batches and __len__ agrees — lockstep
+    multi-host consumers never desync (15 items, 2 shards, bs=4)."""
+
+    class _Items:
+        def __len__(self):
+            return 15
+
+        def __getitem__(self, i):
+            return {"x": i}
+
+    collate = lambda ex: {"x": np.asarray([e["x"] for e in ex])}  # noqa: E731
+    per_shard = []
+    for shard in (0, 1):
+        loader = BatchLoader(_Items(), collate, batch_size=4, shuffle=False,
+                             num_shards=2, shard_id=shard)
+        batches = list(loader)
+        assert len(batches) == len(loader)
+        per_shard.append({int(v) for b in batches for v in b["x"]})
+    assert len(per_shard[0]) and len(per_shard[1])
+    # union covers the dataset (padding duplicates one wrapped index)
+    assert per_shard[0] | per_shard[1] == set(range(15))
+
+
+def test_device_prefetcher_propagates_worker_errors():
+    from alpro_tpu.data.loader import DevicePrefetcher
+    import pytest
+
+    def gen():
+        yield 1
+        raise ValueError("corrupt video")
+
+    pf = DevicePrefetcher(gen(), put=lambda x: x, depth=2)
+    assert next(pf) == 1
+    with pytest.raises(RuntimeError, match="prefetch worker failed") as ei:
+        next(pf)
+    assert isinstance(ei.value.__cause__, ValueError)
+
+
+def test_device_prefetcher_close_unblocks_worker():
+    from alpro_tpu.data.loader import DevicePrefetcher
+
+    def gen():
+        for i in range(100):
+            yield i
+
+    pf = DevicePrefetcher(gen(), put=lambda x: x, depth=2)
+    assert next(pf) == 0
+    pf.close()  # abandon early; worker must exit, not stay blocked on put
+    assert not pf._thread.is_alive()
+
+
+def test_meta_loader_rejects_all_empty():
+    import pytest
+
+    class _Empty:
+        def __len__(self):
+            return 0
+
+        def __iter__(self):
+            return iter(())
+
+    with pytest.raises(AssertionError, match="zero weight"):
+        MetaLoader({"a": _Empty(), "b": _Empty()})
