@@ -56,7 +56,12 @@ def _mk_datasets(cfg: Config, tokenizer, split="train"):
         if split == "train" else "uniform",
         resize_size=cfg.resize_size, crop_size=cfg.crop_img_size,
         is_train=(split == "train"), seed=cfg.get("seed", 42),
-        return_label=True, task_type=task, fps=cfg.get("fps", -1),
+        # inference/val loaders skip labels like the reference's
+        # mk_video_qa_dataloader at inference (`run_video_qa.py:570-585`) —
+        # eval accuracy comes from evaluate_qa's string comparison, so
+        # out-of-vocab val answers never crash label lookup
+        return_label=(split == "train"), task_type=task,
+        fps=cfg.get("fps", -1),
     )
     return ds
 

@@ -292,7 +292,10 @@ class VideoQADataset(VideoDatasetBase):
             if self.return_label:
                 out["label"] = int(ex["answer"])
         elif self.return_label:
-            out["label"] = self.ans2label.get(ex["answer"], 0)
+            # KeyError on out-of-vocab answers, like the reference
+            # (`dataset_video_qa.py:97`): a mismatched ans2label file must
+            # fail loudly, not train every rare answer toward class 0
+            out["label"] = self.ans2label[ex["answer"]]
         return out
 
     def evaluate_qa(self, results):
@@ -371,10 +374,13 @@ class PretrainImageDataset:
             img = None
             if path is not None:
                 if path.endswith((".npy", ".npz")):
-                    arr = np.load(path)
-                    img = arr["frames"] if hasattr(arr, "files") else arr
-                    if img.ndim == 4:
-                        img = img[0]
+                    try:  # corrupt/short files hit the resample idiom below
+                        arr = np.load(path)
+                        img = arr["frames"] if hasattr(arr, "files") else arr
+                        if img.ndim == 4:
+                            img = img[0]
+                    except Exception:
+                        img = None
                 else:
                     try:
                         from PIL import Image
@@ -412,9 +418,9 @@ def _maybe_patchify(clips: np.ndarray, patchify: bool, patch_size: int) -> np.nd
     if not patchify:
         return clips
     try:
-        from alpro_tpu.media.binding import MediaDecoder
+        from alpro_tpu.media.binding import get_decoder
 
-        dec = MediaDecoder()
+        dec = get_decoder()  # cached: no per-batch dlopen in the hot path
         return np.stack([dec.repack_patches(c, patch_size) for c in clips])
     except Exception:
         B, T, H, W, C = clips.shape

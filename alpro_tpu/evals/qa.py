@@ -49,13 +49,16 @@ def evaluate_qa(
         gt = qid2data[qid]
         preds.append(pred)
         gts.append(gt["answer"])
-        if task_type in OPEN_ENDED and "answer_type" in gt:
-            ans_types.append(type_map[gt["answer_type"]])
+        if task_type in OPEN_ENDED:
+            # one entry per row, -1 for missing/unknown types, so the
+            # per-type masks below stay aligned with preds/gts even on
+            # partially annotated datasets
+            ans_types.append(type_map.get(gt.get("answer_type"), -1))
 
     preds = np.asarray(preds)
     gts = np.asarray(gts)
     metrics: Dict[str, float] = {"overall_acc": float(np.mean(preds == gts))}
-    if ans_types:
+    if ans_types and max(ans_types) >= 0:
         ans_types = np.asarray(ans_types)
         ratios = {}
         for name, idx in type_map.items():

@@ -41,10 +41,15 @@ def _sample_fitted(vlen, num_frm, sampling, rng, start_time=None,
     matching the reference's try/except around decode
     (`dataset_base.py:175-177`); index counts ≠ num_frm (the reference feeds
     those to torch as-is) are evenly fitted."""
+    # the fps precondition is a CONFIG error, not a data error: raised
+    # outside the try so a dataset of ts-windowed rows with fps unset fails
+    # loudly instead of silently resampling/zero-scoring every row
+    # (deliberate deviation: the reference's blanket except swallows its own
+    # assert, `dataset_base.py:145,175-177`)
+    start_idx, end_idx = _time_window(vlen, start_time, end_time, fps)
+    if end_idx <= start_idx:
+        return None
     try:
-        start_idx, end_idx = _time_window(vlen, start_time, end_time, fps)
-        if end_idx <= start_idx:
-            return None
         idx = sample_frame_indices(
             vlen, num_frm, sampling, rng, start_idx=start_idx, end_idx=end_idx
         )
@@ -111,7 +116,10 @@ class FFmpegVideoBackend:
                              start_time, end_time, eff_fps)
         if idx is None:
             return None
-        return self._dec.decode_frames(path, idx, height or 0, width or 0)
+        return self._dec.decode_frames(
+            path, idx, height or 0, width or 0,
+            native_size=(info.height, info.width),  # no second probe
+        )
 
 
 def get_video_backend(name: str = "auto"):

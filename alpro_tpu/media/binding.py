@@ -58,7 +58,7 @@ class MediaDecoder:
         self._lib.alpro_decode_frames.restype = ctypes.c_int
         self._lib.alpro_encode_test_video.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int,
+            ctypes.c_int, ctypes.c_int64,
         ]
         self._lib.alpro_encode_test_video.restype = ctypes.c_int
         self._lib.alpro_repack_patches.argtypes = [
@@ -96,14 +96,20 @@ class MediaDecoder:
         indices: Sequence[int],
         out_h: int = 0,
         out_w: int = 0,
+        native_size: Optional[tuple] = None,
     ) -> Optional[np.ndarray]:
         """Decode the given frame indices → (n, out_h, out_w, 3) uint8 RGB.
-        out_h/out_w of 0 keep the native size."""
-        info = self.probe(path)
-        if info is None:
-            return None
-        oh = out_h or info.height
-        ow = out_w or info.width
+        out_h/out_w of 0 keep the native size; callers that already probed
+        pass `native_size=(h, w)` to avoid a second container parse."""
+        if not (out_h and out_w):
+            if native_size is None:
+                info = self.probe(path)
+                if info is None:
+                    return None
+                native_size = (info.height, info.width)
+            out_h = out_h or native_size[0]
+            out_w = out_w or native_size[1]
+        oh, ow = out_h, out_w
         idx = np.ascontiguousarray(np.asarray(indices, dtype=np.int64))
         out = np.empty((len(idx), oh, ow, 3), dtype=np.uint8)
         rc = self._lib.alpro_decode_frames(
@@ -116,8 +122,14 @@ class MediaDecoder:
             return None
         return out
 
-    def encode_test_video(self, path: str, w=128, h=96, n_frames=30, seed=0) -> bool:
-        return self._lib.alpro_encode_test_video(path.encode(), w, h, n_frames, seed) == 0
+    def encode_test_video(self, path: str, w=128, h=96, n_frames=30, seed=0,
+                          start_pts: int = 0) -> bool:
+        """start_pts != 0 (in 1/25s units) writes a stream whose first
+        timestamp is offset — the nonzero-start-container decode case
+        (container inferred from the extension; use .ts for MPEG-TS)."""
+        return self._lib.alpro_encode_test_video(
+            path.encode(), w, h, n_frames, seed, start_pts
+        ) == 0
 
     def make_tokenizer(self, vocab_path: str, lowercase: bool = True) -> "NativeWordPiece":
         return NativeWordPiece(self._lib, vocab_path, lowercase)
@@ -152,7 +164,7 @@ class NativeWordPiece:
         self.vocab = {}
         with open(vocab_path, encoding="utf-8") as f:
             for i, line in enumerate(f):
-                self.vocab[line.rstrip("\n")] = i
+                self.vocab[line.rstrip("\r\n")] = i  # match the C loader (CRLF-safe)
         self.pad_token_id = self.vocab["[PAD]"]
         self.unk_token_id = self.vocab["[UNK]"]
         self.cls_token_id = self.vocab["[CLS]"]
@@ -186,3 +198,16 @@ class NativeWordPiece:
             self._lib.alpro_tok_destroy(self._h)
         except Exception:
             pass
+
+
+_DECODER_SINGLETON = None
+
+
+def get_decoder() -> "MediaDecoder":
+    """Process-wide cached MediaDecoder: dlopen + ctypes prototype setup once,
+    not per batch (the decoder object is stateless; each call opens its own
+    demux context, so sharing across threads is safe)."""
+    global _DECODER_SINGLETON
+    if _DECODER_SINGLETON is None:
+        _DECODER_SINGLETON = MediaDecoder()
+    return _DECODER_SINGLETON

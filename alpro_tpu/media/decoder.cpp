@@ -122,10 +122,15 @@ int alpro_decode_frames(const char* path, const int64_t* indices, int n,
   const size_t frame_bytes = (size_t)out_w * out_h * 3;
   const double fps = d.fps();
   const AVRational tb = d.stream()->time_base;
+  // containers can start at a nonzero pts (MPEG-TS, edit lists); frame
+  // indices count from the stream's own start, not absolute pts
+  const int64_t start_pts =
+      d.stream()->start_time != AV_NOPTS_VALUE ? d.stream()->start_time : 0;
 
   int64_t cur = -1;  // index of the last decoded frame
   size_t ti = 0;
   int err = 0;
+  bool got_any = false;
 
   auto emit = [&](AVFrame* f, int64_t frame_idx) {
     while (ti < targets.size() && targets[ti].first == frame_idx) {
@@ -136,28 +141,34 @@ int alpro_decode_frames(const char* path, const int64_t* indices, int n,
     }
   };
 
+  // receive every pending frame from the decoder, tracking the frame index
+  auto drain = [&]() {
+    while (avcodec_receive_frame(d.dec, frame) == 0) {
+      if (cur < 0 && fps > 0 && frame->pts != AV_NOPTS_VALUE)
+        cur = (int64_t)((frame->pts - start_pts) * av_q2d(tb) * fps + 0.5);
+      else
+        ++cur;
+      emit(frame, cur);
+      got_any = true;
+    }
+  };
+
   while (ti < targets.size() && err == 0) {
     int64_t want = targets[ti].first;
     // seek forward jumps: if the next target is far ahead, keyframe-seek
     if (want > cur + 64 && fps > 0) {
-      int64_t ts = (int64_t)((double)want / fps / av_q2d(tb));
+      int64_t ts = start_pts + (int64_t)((double)want / fps / av_q2d(tb));
       if (av_seek_frame(d.fmt, d.stream_idx, ts, AVSEEK_FLAG_BACKWARD) >= 0) {
         avcodec_flush_buffers(d.dec);
         cur = -1;  // unknown until the first decoded pts
       }
     }
-    bool got_any = false;
+    got_any = false;
     while (ti < targets.size()) {
       int r = av_read_frame(d.fmt, pkt);
       if (r < 0) {  // EOF: flush
         avcodec_send_packet(d.dec, nullptr);
-        while (avcodec_receive_frame(d.dec, frame) == 0) {
-          cur = (cur < 0 && fps > 0 && frame->pts != AV_NOPTS_VALUE)
-                    ? (int64_t)(frame->pts * av_q2d(tb) * fps + 0.5)
-                    : cur + 1;
-          emit(frame, cur);
-          got_any = true;
-        }
+        drain();
         // remaining targets past EOF: clamp to the last decoded frame
         while (ti < targets.size() && got_any) {
           uint8_t* dst[1] = {out_buf + frame_bytes * targets[ti].second};
@@ -174,19 +185,15 @@ int alpro_decode_frames(const char* path, const int64_t* indices, int n,
         continue;
       }
       int s = avcodec_send_packet(d.dec, pkt);
+      if (s == AVERROR(EAGAIN)) {
+        // decoder output queue full: drain, then RESEND this packet —
+        // dropping it would silently shift every later frame index
+        drain();
+        s = avcodec_send_packet(d.dec, pkt);
+      }
       av_packet_unref(pkt);
-      if (s < 0 && s != AVERROR(EAGAIN)) continue;
-      while (avcodec_receive_frame(d.dec, frame) == 0) {
-        if (cur < 0 && fps > 0 && frame->pts != AV_NOPTS_VALUE)
-          cur = (int64_t)(frame->pts * av_q2d(tb) * fps + 0.5);
-        else
-          ++cur;
-        emit(frame, cur);
-        got_any = true;
-      }
-      if (ti < targets.size() && cur >= targets[ti].first && got_any) {
-        // shouldn't happen (emit handles it), but avoid infinite loops
-      }
+      if (s < 0) continue;  // undecodable packet: skip it
+      drain();
       if (ti >= targets.size()) break;
       // if we've decoded past the last target, stop
       if (cur > targets.back().first) break;
@@ -240,10 +247,15 @@ int alpro_repack_patches(const uint8_t* frames, int n_frames, int H, int W,
 }
 
 // Write a procedurally generated MJPEG/AVI clip (test fixture).
+// start_pts (in the encoder's 1/25 time base) shifts the stream's first
+// timestamp — fixtures for containers that do not start at pts 0 (MPEG-TS,
+// edit-listed files), the case the decoder's start_time handling covers.
+// Container is inferred from the path extension (falls back to AVI).
 int alpro_encode_test_video(const char* path, int w, int h, int n_frames,
-                            int seed) {
+                            int seed, int64_t start_pts) {
   AVFormatContext* fmt = nullptr;
-  avformat_alloc_output_context2(&fmt, nullptr, "avi", path);
+  avformat_alloc_output_context2(&fmt, nullptr, nullptr, path);
+  if (!fmt) avformat_alloc_output_context2(&fmt, nullptr, "avi", path);
   if (!fmt) return -1;
   const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MJPEG);
   if (!codec) return -2;
@@ -281,7 +293,7 @@ int alpro_encode_test_video(const char* path, int w, int h, int n_frames,
         frame->data[2][y * frame->linesize[2] + x] =
             (uint8_t)(128 + ((i * 7 + y) & 0x3F));
       }
-    frame->pts = i;
+    frame->pts = start_pts + i;
     if (avcodec_send_frame(enc, frame) < 0) return -6;
     while (avcodec_receive_packet(enc, pkt) == 0) {
       av_packet_rescale_ts(pkt, enc->time_base, st->time_base);

@@ -4,7 +4,14 @@
 // (/root/reference/src/tasks/run_video_retrieval.py:334). This is the
 // framework's own native host-path implementation, matching
 // alpro_tpu/data/tokenization.py::WordPieceTokenizer (its python reference,
-// property-tested against it).
+// property-tested against it) for ASCII text.
+//
+// SCOPE: byte-level, ASCII-exact. Non-ASCII input (UTF-8 multibyte) is kept
+// as opaque word bytes — unicode punctuation is not split and non-ASCII
+// letters are not lowercased, so ids can differ from the python tokenizer
+// there (proper unicode segmentation needs ICU-class tables). The python /
+// HF tokenizers are the primary path; this one serves ASCII-heavy serving
+// hosts that must not carry a python text stack.
 //
 // C ABI:
 //   alpro_tok_create(vocab_path, lowercase) -> handle
