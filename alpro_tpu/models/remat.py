@@ -29,7 +29,13 @@ BERT_ATTN = "bert_attn_out"
 SAVED_NAMES = (TS_TEMPORAL_ATTN, TS_SPATIAL_ATTN, BERT_ATTN)
 
 REMAT_POLICIES = ("nothing", "dots", "dots_all", "dots_names", "names",
-                  "dots_rng")
+                  "dots_rng", "dots_ln")
+
+# LayerNorm per-row statistics (mean, raw variance) tagged in
+# ops/layers.py::layernorm_apply — 1/D the activation size, so saving them
+# is nearly free while removing the fp32 convert+reduce statistics pass
+# from every backward recompute.
+LN_STAT = "ln_stat"
 
 # PRNG bit-generation primitives: their outputs are the dropout/droppath
 # mask bits. Under a policy that doesn't save them, every backward re-runs
@@ -56,6 +62,15 @@ def resolve_remat_policy(name: str):
         return jax.checkpoint_policies.save_from_both_policies(
             jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             _rng_bits_saveable,
+        )
+    if name == "dots_ln":
+        # dots ∪ LN statistics: backward recompute substitutes the saved
+        # (rows, 1) mean / raw-variance instead of re-reducing the
+        # fp32-converted activations — the statistics pass (not the
+        # normalize multiply) is the slow-population cost of each LN site.
+        return jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            jax.checkpoint_policies.save_only_these_names(LN_STAT),
         )
     if name == "dots_all":
         # every dot output incl. batched attention einsums — largest memory

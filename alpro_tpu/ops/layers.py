@@ -61,11 +61,27 @@ class LayerNorm(nn.Module):
 def layernorm_apply(x, scale, bias, eps, out_dtype):
     """Functional LN with one-pass fp32 statistics (E[x²] − E[x]²) — the
     exact math of the `LayerNorm` module, shared with fused paths that hold
-    raw parameters."""
+    raw parameters.
+
+    ``mean`` and the raw variance carry the ``ln_stat`` remat tag: under
+    ``remat_policy='dots_ln'`` (models/remat.py) these per-row scalars —
+    1/D the activation size — are saved across the checkpoint boundary.
+    They are tagged *before* any consumer (so the untagged reduce outputs
+    feed nothing else and are dead code in the backward's recompute), and
+    the tag sits on the raw ``mean_sq − mean²`` rather than on
+    ``max(·, 0)``/``rsqrt`` outputs because the VJPs of those ops need
+    their *operand* values — saving downstream of them would resurrect the
+    reduces. Net: the recompute reads the activations once (normalize pass)
+    instead of twice (statistics + normalize), removing the fp32
+    convert+reduce family — the slow-population cost in the training
+    profile (docs/PERF.md) — from every backward."""
+    from jax.ad_checkpoint import checkpoint_name
+
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    mean = checkpoint_name(jnp.mean(xf, axis=-1, keepdims=True), "ln_stat")
     mean_sq = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
-    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    var_raw = checkpoint_name(mean_sq - jnp.square(mean), "ln_stat")
+    var = jnp.maximum(var_raw, 0.0)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     return y.astype(out_dtype)

@@ -103,7 +103,7 @@ def main():
     ap.add_argument("--grad_ckpt", type=int, default=1)
     ap.add_argument("--remat_policy", type=str, default="dots",
                     choices=["nothing", "dots", "dots_all", "dots_names",
-                             "names", "dots_rng"])
+                             "names", "dots_rng", "dots_ln"])
     ap.add_argument("--scan", type=int, default=1,
                     help="scan_blocks (0 = unrolled block stack)")
     ap.add_argument("--mu_dtype", type=str, default=None,
