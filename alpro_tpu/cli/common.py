@@ -120,9 +120,10 @@ def build_model_from_cfg(cfg: Config, task: str) -> AlproModel:
         bert = dataclasses.replace(bert, gradient_checkpointing=True)
         vis = dataclasses.replace(vis, gradient_checkpointing=True)
     # selective remat: what the per-block checkpoint keeps (models/remat.py;
-    # 'dots' keeps non-batched matmul outputs — measured fastest on TPU,
-    # docs/PERF.md; 'nothing' = reference-equivalent full recompute)
-    remat_policy = cfg.get("remat_policy", "dots")
+    # 'dots_ln' keeps non-batched matmul outputs plus the per-row LN
+    # statistics — measured fastest on TPU in both scanned and unrolled
+    # graphs, docs/PERF.md; 'nothing' = reference-equivalent full recompute)
+    remat_policy = cfg.get("remat_policy", "dots_ln")
     bert = dataclasses.replace(bert, remat_policy=remat_policy)
     vis = dataclasses.replace(vis, remat_policy=remat_policy)
     dtype = compute_dtype(cfg)

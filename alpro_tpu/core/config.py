@@ -176,11 +176,12 @@ def shared_training_args(parser: argparse.ArgumentParser) -> argparse.ArgumentPa
     from alpro_tpu.models.remat import REMAT_POLICIES
 
     parser.add_argument(
-        "--remat_policy", type=str, default="dots",
+        "--remat_policy", type=str, default="dots_ln",
         choices=list(REMAT_POLICIES),
         help="what per-block gradient checkpointing keeps (models/remat.py);"
-             " 'dots' measured fastest on TPU, 'nothing' = reference-"
-             "equivalent full recompute",
+             " 'dots_ln' (dots ∪ saved LN statistics) measured fastest on "
+             "TPU in both scanned and unrolled graphs, 'nothing' = "
+             "reference-equivalent full recompute",
     )
     return parser
 

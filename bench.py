@@ -336,17 +336,20 @@ def _run(extras):
         try:
             from benchmarks.train_step import measure_train_step
 
-            # unrolled blocks + remat_policy='dots' is the measured-fastest
-            # training graph (43.9 vs 40.6 scanned, docs/PERF.md); warm
-            # (persistent compile cache, which this bench itself seeds) it
-            # compiles in ~6 min like the scanned graph, cold ~12 min. The
+            # unrolled blocks + remat_policy='dots_ln' (dots ∪ saved LN
+            # statistics) + bf16 AdamW first moment is the measured-fastest
+            # training graph (same-phase ladder: dots 42.9 → dots_ln 43.2 →
+            # +mu_bf16 44.6 clips/s, docs/PERF.md round 3; loss bit-identical
+            # across all three); warm (persistent compile cache, which this
+            # bench itself seeds) it compiles in ~1 min, cold ~8-15 min. The
             # headline + latency numbers are already emitted by this point,
             # so a cold-compile overrun only costs this stage.
             scan = _time_left() < 600
-            tr = measure_train_step(batch=8, iters=8, remat_policy="dots",
-                                    scan_blocks=scan)
+            tr = measure_train_step(batch=8, iters=8, remat_policy="dots_ln",
+                                    scan_blocks=scan, mu_dtype="bfloat16")
             extras["train_clips_per_sec"] = round(tr["clips_per_sec"], 2)
             extras["train_graph"] = "scan" if scan else "unrolled"
+            extras["train_config"] = "dots_ln+mu_bf16"
             extras["train_ms_per_step_b8"] = round(tr["ms_per_step"], 1)
         except Exception as e:
             extras["train_error"] = repr(e)[:200]

@@ -134,7 +134,7 @@ def main():
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--num_frm", type=int, default=4)
     ap.add_argument("--use_mpm", type=int, default=1)
-    ap.add_argument("--remat_policy", type=str, default="dots",
+    ap.add_argument("--remat_policy", type=str, default="dots_ln",
                     choices=["nothing", "dots", "dots_all", "dots_names",
                              "names", "dots_rng", "dots_ln"])
     ap.add_argument("--scan", type=int, default=1,

@@ -101,7 +101,7 @@ def main():
     ap.add_argument("--img_size", type=int, default=224)
     ap.add_argument("--depth", type=int, default=12)
     ap.add_argument("--grad_ckpt", type=int, default=1)
-    ap.add_argument("--remat_policy", type=str, default="dots",
+    ap.add_argument("--remat_policy", type=str, default="dots_ln",
                     choices=["nothing", "dots", "dots_all", "dots_names",
                              "names", "dots_rng", "dots_ln"])
     ap.add_argument("--scan", type=int, default=1,
