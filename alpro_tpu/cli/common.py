@@ -349,6 +349,7 @@ def setup_training(cfg: Config, model: AlproModel, make_step: Callable,
         grad_norm=cfg.get("grad_norm", None),
         accum_steps=accum,
         mu_dtype=cfg.get("adam_mu_dtype") or None,
+        nu_dtype=cfg.get("adam_nu_dtype") or None,
     )
 
     params = init_params(model, cfg, seed=cfg.get("seed", 42))

@@ -145,6 +145,12 @@ def shared_training_args(parser: argparse.ArgumentParser) -> argparse.ArgumentPa
                         help="AdamW first-moment storage dtype; bfloat16 "
                              "halves m-state HBM (default fp32, reference "
                              "parity)")
+    parser.add_argument("--adam_nu_dtype", type=str, default=None,
+                        choices=[None, "bfloat16", "float32"],
+                        help="AdamW second-moment storage dtype; bfloat16 "
+                             "halves v-state HBM but perturbs the "
+                             "per-parameter step scale (sqrt(nu)) — "
+                             "opt-in only (default fp32)")
     parser.add_argument("--fp16", type=int, default=0)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--num_workers", type=int, default=4)

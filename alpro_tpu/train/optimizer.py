@@ -112,6 +112,59 @@ def _wd_mask(params) -> dict:
     return jax.tree_util.tree_map_with_path(mask_leaf, params)
 
 
+def _scale_by_adam_dtypes(
+    b1: float, b2: float, eps: float, mu_dtype=None, nu_dtype=None
+) -> optax.GradientTransformation:
+    """optax.scale_by_adam with independent storage dtypes for BOTH moments.
+
+    optax only exposes ``mu_dtype``; the second moment is the other half of
+    the optimizer-state HBM traffic (docs/PERF.md measured ~5.8 ms/step for
+    the first moment alone on the flagship train step). Math matches optax:
+    moments are updated in the gradient dtype (fp32 here), cast on store,
+    upcast on read; bias correction divides by (1 - b^t) at count t.
+    """
+    mu_dtype = jnp.dtype(mu_dtype) if mu_dtype else None
+    nu_dtype = jnp.dtype(nu_dtype) if nu_dtype else None
+
+    def init_fn(params):
+        mu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype), params
+        )
+        nu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=nu_dtype or p.dtype), params
+        )
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32), mu=mu, nu=nu
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+
+        def new_mu(g, m):
+            return b1 * m.astype(g.dtype) + (1.0 - b1) * g
+
+        def new_nu(g, v):
+            return b2 * v.astype(g.dtype) + (1.0 - b2) * jnp.square(g)
+
+        mu = jax.tree_util.tree_map(new_mu, updates, state.mu)
+        nu = jax.tree_util.tree_map(new_nu, updates, state.nu)
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        out = jax.tree_util.tree_map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu
+        )
+        mu = jax.tree_util.tree_map(
+            lambda m: m.astype(mu_dtype) if mu_dtype else m, mu
+        )
+        nu = jax.tree_util.tree_map(
+            lambda v: v.astype(nu_dtype) if nu_dtype else v, nu
+        )
+        return out, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def build_optimizer(
     learning_rate_schedule: Callable,
     betas=(0.9, 0.98),
@@ -121,6 +174,7 @@ def build_optimizer(
     grad_norm: Optional[float] = None,
     accum_steps: int = 1,
     mu_dtype: Optional[str] = None,
+    nu_dtype: Optional[str] = None,
 ) -> optax.GradientTransformation:
     """`accum_steps > 1` wraps in optax.MultiSteps: gradients average over k
     micro-batches before one optimizer update — the reference's
@@ -131,24 +185,37 @@ def build_optimizer(
 
     `mu_dtype='bfloat16'` stores the AdamW first moment in bf16 (optax
     rounds on write, upcasts in the update): halves the m-state HBM
-    footprint/traffic. Default None keeps fp32, matching the reference's
-    fp32 optimizer state under apex O2 (`amp.initialize`,
+    footprint/traffic. `nu_dtype` is the same knob for the second moment
+    (not offered by optax; routed through `_scale_by_adam_dtypes`) — more
+    numerically delicate since sqrt(nu) sets the per-parameter step scale,
+    so it stays a separate opt-in. Default None keeps fp32, matching the
+    reference's fp32 optimizer state under apex O2 (`amp.initialize`,
     `run_video_retrieval.py:329-331`)."""
     txs = []
     if grad_norm is not None and grad_norm > 0:
         txs.append(optax.clip_by_global_norm(grad_norm))
     wd = weight_decay if apply_weight_decay else 0.0
-    txs.append(
-        optax.adamw(
-            learning_rate=learning_rate_schedule,
-            b1=betas[0],
-            b2=betas[1],
-            eps=eps,
-            weight_decay=wd,
-            mask=_wd_mask if wd > 0 else None,
-            mu_dtype=jnp.dtype(mu_dtype) if mu_dtype else None,
+    if nu_dtype:
+        # optax.adamw == scale_by_adam ∘ add_decayed_weights ∘ -lr scaling;
+        # recompose with the dtype-aware moments kernel.
+        txs.append(_scale_by_adam_dtypes(
+            betas[0], betas[1], eps, mu_dtype=mu_dtype, nu_dtype=nu_dtype,
+        ))
+        if wd > 0:
+            txs.append(optax.add_decayed_weights(wd, mask=_wd_mask))
+        txs.append(optax.scale_by_learning_rate(learning_rate_schedule))
+    else:
+        txs.append(
+            optax.adamw(
+                learning_rate=learning_rate_schedule,
+                b1=betas[0],
+                b2=betas[1],
+                eps=eps,
+                weight_decay=wd,
+                mask=_wd_mask if wd > 0 else None,
+                mu_dtype=jnp.dtype(mu_dtype) if mu_dtype else None,
+            )
         )
-    )
     tx = optax.chain(*txs)
     if accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)

@@ -21,7 +21,7 @@ import numpy as np
 def measure_train_step(batch=8, iters=8, num_frm=8, img_size=224, depth=12,
                        grad_ckpt=True, bert_grad_ckpt=None,
                        remat_policy="nothing", scan_blocks=True,
-                       mu_dtype=None) -> dict:
+                       mu_dtype=None, nu_dtype=None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -68,7 +68,7 @@ def measure_train_step(batch=8, iters=8, num_frm=8, img_size=224, depth=12,
         data["text_input_ids"][:1], data["text_input_mask"][:1],
     )
     tx = build_optimizer(get_lr_schedule("linear", 1e-4, 1000), grad_norm=5.0,
-                         mu_dtype=mu_dtype)
+                         mu_dtype=mu_dtype, nu_dtype=nu_dtype)
     step = jax.jit(make_retrieval_train_step(model, tx), donate_argnums=(0,))
     state = TrainState.create(params, tx)
     key = jax.random.PRNGKey(0)
@@ -108,12 +108,14 @@ def main():
                     help="scan_blocks (0 = unrolled block stack)")
     ap.add_argument("--mu_dtype", type=str, default=None,
                     help="AdamW first-moment dtype (e.g. bfloat16)")
+    ap.add_argument("--nu_dtype", type=str, default=None,
+                    help="AdamW second-moment dtype (e.g. bfloat16)")
     args = ap.parse_args()
     r = measure_train_step(
         batch=args.batch, iters=args.iters, num_frm=args.num_frm,
         img_size=args.img_size, depth=args.depth, grad_ckpt=bool(args.grad_ckpt),
         remat_policy=args.remat_policy, scan_blocks=bool(args.scan),
-        mu_dtype=args.mu_dtype,
+        mu_dtype=args.mu_dtype, nu_dtype=args.nu_dtype,
     )
     print(json.dumps({
         "metric": f"train clips/s (retrieval step, B={args.batch}, VTC+VTM, "

@@ -109,3 +109,53 @@ def test_mu_dtype_bf16():
     w32, wbf = run(None), run("bfloat16")
     assert np.all(np.abs(wbf) < 3.0)  # it optimizes
     np.testing.assert_allclose(wbf, w32, atol=5e-3)
+
+
+def test_nu_dtype_recomposition_matches_optax():
+    """The nu_dtype path recomposes adamw from _scale_by_adam_dtypes; with
+    both moments left fp32 it must reproduce optax.adamw's trajectory
+    exactly (same math, same bias correction, eps outside the sqrt), and
+    with bf16 moments it must store both states in bf16 and still track."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from alpro_tpu.train.optimizer import build_optimizer
+
+    def run(mu_dtype, nu_dtype, force_custom):
+        tx = build_optimizer(
+            get_lr_schedule("constant", 1e-2, 100), grad_norm=1.0,
+            weight_decay=1e-2, apply_weight_decay=True,
+            mu_dtype=mu_dtype,
+            # nu_dtype='float32' still routes through the custom transform
+            nu_dtype=nu_dtype or ("float32" if force_custom else None),
+        )
+        params = {"w": jnp.linspace(-2.0, 3.0, 64), "bias": jnp.ones((4,))}
+        opt = tx.init(params)
+        if nu_dtype == "bfloat16":
+            bf = [
+                leaf for leaf in jax.tree_util.tree_leaves(opt)
+                if hasattr(leaf, "dtype") and leaf.dtype == jnp.bfloat16
+            ]
+            # mu and nu for both params
+            assert len(bf) >= 4, "second moment not stored in bf16"
+
+        @jax.jit
+        def step(params, opt):
+            grads = jax.grad(
+                lambda p: jnp.sum(p["w"] ** 2) + jnp.sum(jnp.sin(p["bias"]))
+            )(params)
+            upd, opt = tx.update(grads, opt, params)
+            return optax.apply_updates(params, upd), opt
+
+        for _ in range(25):
+            params, opt = step(params, opt)
+        return np.asarray(params["w"])
+
+    ref = run(None, None, force_custom=False)      # pure optax.adamw
+    same = run(None, None, force_custom=True)      # custom kernel, fp32
+    np.testing.assert_allclose(same, ref, rtol=1e-6, atol=1e-7)
+
+    wbf = run("bfloat16", "bfloat16", force_custom=True)
+    assert np.all(np.abs(wbf) <= np.abs(ref) + 0.05)  # it optimizes
+    np.testing.assert_allclose(wbf, ref, atol=2e-2)
