@@ -59,6 +59,48 @@ def test_resume_mid_accumulation(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_resume_bf16_moments(tmp_path):
+    """bf16 optimizer moments (--adam_mu_dtype/--adam_nu_dtype) must
+    round-trip through the restorer with their dtype intact and continue
+    the exact trajectory — orbax restores to the template's dtypes, so a
+    template built from the same optimizer config is required."""
+    import optax
+
+    tx = build_optimizer(
+        get_lr_schedule("constant", 1e-2, 100), grad_norm=1.0,
+        mu_dtype="bfloat16", nu_dtype="bfloat16",
+    )
+    params = {"w": jnp.linspace(-1.0, 1.0, 8)}
+
+    @jax.jit
+    def step(state):
+        grads = jax.grad(lambda p: jnp.sum(p["w"] ** 2))(state.params)
+        upd, opt = tx.update(grads, state.opt_state, state.params)
+        return state.replace(
+            params=optax.apply_updates(state.params, upd),
+            opt_state=opt, step=state.step + 1,
+        )
+
+    state = TrainState.create(params, tx)
+    for _ in range(3):
+        state = step(state)
+    restorer = TrainingRestorer(str(tmp_path), save_steps=1, async_save=False)
+    restorer.save(jax.device_get(state))
+    cont = step(state)
+
+    template = jax.device_get(TrainState.create(params, tx))
+    restored = restorer.restore(template)
+    bf = [
+        leaf for leaf in jax.tree_util.tree_leaves(restored.opt_state)
+        if hasattr(leaf, "dtype") and leaf.dtype == jnp.bfloat16
+    ]
+    assert len(bf) >= 2, "restored moments lost their bf16 dtype"
+    rest = step(restored)
+    np.testing.assert_array_equal(
+        np.asarray(cont.params["w"]), np.asarray(rest.params["w"])
+    )
+
+
 def _tiny_state(step_val: int):
     import optax
 
