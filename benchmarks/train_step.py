@@ -78,13 +78,19 @@ def measure_train_step(batch=8, iters=8, num_frm=8, img_size=224, depth=12,
     loss = float(m["loss"])  # readback: forces completion
     compile_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    last = None
-    for _ in range(iters):
-        state, m = step(state, data, key)
-        last = m["loss"]
-    _ = float(last)
-    dt = (time.perf_counter() - t0) / iters
+    # best-of-2 trials, like bench.py's headline: the tunnel occasionally
+    # stalls a single trial ~5x, and one stalled chain shouldn't be the
+    # recorded train number. Runtime-only — the compiled executable (and
+    # the persistent compile cache) is shared by both trials.
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(iters):
+            state, m = step(state, data, key)
+            last = m["loss"]
+        _ = float(last)
+        dt = min(dt, (time.perf_counter() - t0) / iters)
     return {
         "clips_per_sec": B / dt,
         "ms_per_step": dt * 1000,
