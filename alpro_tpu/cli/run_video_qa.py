@@ -178,9 +178,15 @@ def start_training(cfg: Config):
     # QA finetunes from the pretrain ckpt with the text_encoder.bert prefix
     # stripped (`run_video_qa.py:189-195`)
     cfg["remove_text_encoder_prefix"] = True
+    # train-time multi-clip: per-clip forwards, last-clip backward
+    # (`run_video_qa.py:461-489`; see make_qa_train_step)
+    train_n_clips = int(cfg.get("train_n_clips", 1))
     mesh, step_fn, state, num_steps, restorer = common.setup_training(
         cfg, model,
-        lambda m, tx: make_qa_train_step(m, tx, n_options=n_options),
+        lambda m, tx: make_qa_train_step(
+            m, tx, n_options=n_options, n_clips=train_n_clips,
+            num_frm=int(cfg.num_frm),
+        ),
         steps_per_epoch=len(train_loader),
     )
     LOGGER.info("training qa for %d steps", num_steps)

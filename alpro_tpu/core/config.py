@@ -141,12 +141,12 @@ def shared_training_args(parser: argparse.ArgumentParser) -> argparse.ArgumentPa
     parser.add_argument("--transformer_lr_mul", type=float, default=1.0)
     parser.add_argument("--step_decay_epochs", type=int, nargs="+", default=None)
     parser.add_argument("--adam_mu_dtype", type=str, default=None,
-                        choices=[None, "bfloat16", "float32"],
+                        choices=["bfloat16", "float32"],
                         help="AdamW first-moment storage dtype; bfloat16 "
                              "halves m-state HBM (default fp32, reference "
                              "parity)")
     parser.add_argument("--adam_nu_dtype", type=str, default=None,
-                        choices=[None, "bfloat16", "float32"],
+                        choices=["bfloat16", "float32"],
                         help="AdamW second-moment storage dtype; bfloat16 "
                              "halves v-state HBM but perturbs the "
                              "per-parameter step scale (sqrt(nu)) — "

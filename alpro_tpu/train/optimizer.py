@@ -141,11 +141,15 @@ def _scale_by_adam_dtypes(
         del params
         count = optax.safe_int32_increment(state.count)
 
+        # Moment math runs at the wider of grad dtype and fp32 (optax promotes
+        # too); never downcast the fp32 accumulator to a bf16 grad's dtype.
         def new_mu(g, m):
-            return b1 * m.astype(g.dtype) + (1.0 - b1) * g
+            ct = jnp.promote_types(g.dtype, jnp.float32)
+            return b1 * m.astype(ct) + (1.0 - b1) * g.astype(ct)
 
         def new_nu(g, v):
-            return b2 * v.astype(g.dtype) + (1.0 - b2) * jnp.square(g)
+            ct = jnp.promote_types(g.dtype, jnp.float32)
+            return b2 * v.astype(ct) + (1.0 - b2) * jnp.square(g.astype(ct))
 
         mu = jax.tree_util.tree_map(new_mu, updates, state.mu)
         nu = jax.tree_util.tree_map(new_nu, updates, state.nu)
@@ -201,8 +205,11 @@ def build_optimizer(
         txs.append(_scale_by_adam_dtypes(
             betas[0], betas[1], eps, mu_dtype=mu_dtype, nu_dtype=nu_dtype,
         ))
-        if wd > 0:
-            txs.append(optax.add_decayed_weights(wd, mask=_wd_mask))
+        # Always include the decay transform (wd may be 0.0) so the opt_state
+        # pytree structure matches optax.adamw regardless of the wd value —
+        # keeps checkpoints interchangeable across the nu_dtype flag toggle
+        # with wd=0 trees differing only in moment dtype.
+        txs.append(optax.add_decayed_weights(wd, mask=_wd_mask))
         txs.append(optax.scale_by_learning_rate(learning_rate_schedule))
     else:
         txs.append(

@@ -277,15 +277,50 @@ def make_retrieval_inference_fn(model: AlproModel) -> Callable:
 # QA classification
 # --------------------------------------------------------------------------
 def make_qa_train_step(model: AlproModel, tx: optax.GradientTransformation,
-                       n_options: int = 1) -> Callable:
-    def loss_fn(params, batch, rng):
+                       n_options: int = 1, n_clips: int = 1,
+                       num_frm: Optional[int] = None) -> Callable:
+    """`n_clips > 1` reproduces the reference's train-time multi-clip
+    semantics (`/root/reference/src/tasks/run_video_qa.py:461-489`): the
+    (B, n_clips*num_frm) frame stack splits into n_clips per-clip forwards,
+    every clip's loss is computed, but — reference quirk, preserved — ONLY
+    the LAST clip's loss reaches backward (`loss = outputs['loss']` is
+    overwritten per iteration before the single `scaled_loss.backward()`).
+    Earlier clips contribute metrics only (stop_gradient), matching the
+    reference where their autograd graphs are built then dropped.
+    `n_clips == 1` keeps the original single-clip graph bit-identical."""
+
+    def _clip_loss(params, batch, rng):
         logits = _qa_logits(model, params, batch, rng, train=True,
                             n_options=n_options)
         labels = batch["labels"]
         logp = jax.nn.log_softmax(logits, axis=-1)
         loss = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
         acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
-        return loss, {"loss": loss, "acc": acc}
+        return loss, acc
+
+    def loss_fn(params, batch, rng):
+        if n_clips <= 1:
+            loss, acc = _clip_loss(params, batch, rng)
+            return loss, {"loss": loss, "acc": acc}
+        assert num_frm is not None, "n_clips > 1 needs num_frm"
+        vis = batch["visual_inputs"]
+        B = vis.shape[0]
+        vis = vis.reshape(B, n_clips, num_frm, *vis.shape[2:])
+        losses, accs = [], []
+        for c in range(n_clips):  # static unroll; n_clips is 2-3
+            sub = dict(batch)
+            sub["visual_inputs"] = vis[:, c]
+            p = params if c == n_clips - 1 else jax.lax.stop_gradient(params)
+            loss_c, acc_c = _clip_loss(p, sub, jax.random.fold_in(rng, c))
+            losses.append(loss_c)
+            accs.append(acc_c)
+        loss = losses[-1]  # reference backprops the final clip only
+        return loss, {
+            "loss": loss,
+            "acc": accs[-1],
+            "loss_all_clips": jnp.mean(jnp.stack(losses)),
+            "acc_all_clips": jnp.mean(jnp.stack(accs)),
+        }
 
     def step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
