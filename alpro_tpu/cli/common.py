@@ -35,7 +35,18 @@ from alpro_tpu.train.step import shard_step
 
 
 def setup_environment(cfg: Config):
+    from alpro_tpu.core.distributed import maybe_initialize
     from alpro_tpu.core.misc import save_training_meta, set_random_seed
+
+    # multi-host: the reference's hvd.init() slot (`run_video_retrieval.py:
+    # 818`). Env-gated (ALPRO_COORDINATOR / ALPRO_DISTRIBUTED) and must run
+    # before anything touches devices — after this, jax.devices() is global.
+    if maybe_initialize():
+        LOGGER.info(
+            "distributed runtime: process %d/%d, %d local of %d global devices",
+            jax.process_index(), jax.process_count(),
+            jax.local_device_count(), jax.device_count(),
+        )
 
     # rbg PRNG: threefry bit generation for the per-step dropout/droppath
     # masks is a measurable chunk of the training elementwise time on TPU
@@ -68,7 +79,10 @@ def setup_environment(cfg: Config):
         import logging
 
         LOGGER.setLevel(logging.WARNING)
-    if cfg.get("output_dir"):
+    if cfg.get("output_dir") and not nonzero_host:
+        # primary host only: the reference installs NoOp TB/saver on
+        # ranks != 0 (`run_video_retrieval.py:309-315`); on a shared
+        # filesystem concurrent writers would collide
         os.makedirs(cfg.output_dir, exist_ok=True)
         add_log_to_file(os.path.join(cfg.output_dir, "log", "log.txt"))
         TB_LOGGER.create(os.path.join(cfg.output_dir, "log"))
@@ -366,21 +380,31 @@ def setup_training(cfg: Config, model: AlproModel, make_step: Callable,
         params = maybe_load_visual_weights(params, cfg, model=model)
 
     n_dev = len(jax.devices())
+    n_proc = jax.process_count()
     shape = cfg.get("mesh_shape")
     if shape is None:
         # batch must divide over dp: use the largest divisor of the global
-        # batch that fits the device count
+        # batch that fits the device count. Multi-process, dp must also be a
+        # multiple of the process count so every host keeps mesh devices
+        # (core.mesh.select_devices).
         bs = int(cfg.train_batch_size)
         n = n_dev
-        while n > 1 and bs % n != 0:
+        while n > n_proc and (bs % n != 0 or n % n_proc != 0):
             n -= 1
+        if bs % n != 0:
+            raise ValueError(
+                f"train_batch_size {bs} has no dp layout over {n_dev} devices"
+                f" / {n_proc} processes"
+            )
         if n != n_dev:
             LOGGER.warning(
                 "train_batch_size %d not divisible by %d devices; using dp=%d",
                 bs, n_dev, n,
             )
         shape = [n]
-    mesh = make_mesh(devices=jax.devices()[: int(np.prod(shape))], shape=shape)
+    from alpro_tpu.core.mesh import select_devices
+
+    mesh = make_mesh(devices=select_devices(int(np.prod(shape))), shape=shape)
     state = replicate(mesh, TrainState.create(params, tx))
     if extra_repl_args:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -401,6 +425,21 @@ def setup_training(cfg: Config, model: AlproModel, make_step: Callable,
     restorer = TrainingRestorer(cfg.output_dir, save_steps) if cfg.get("output_dir") else None
     if restorer is not None:
         restored = restorer.restore(jax.device_get(state))
+        if jax.process_count() > 1:
+            # every host must resume from the same step — the reference
+            # broadcasts params from rank 0 after restore
+            # (`run_video_retrieval.py:326-327`); here the checkpoint lives
+            # on a shared FS, so a mismatch means the FS is NOT shared and
+            # the run must stop before silently diverging
+            from alpro_tpu.parallel.host_sync import all_gather_list
+
+            local_step = -1 if restored is None else int(np.asarray(restored.step))
+            steps = all_gather_list(local_step)
+            if len(set(steps)) != 1:
+                raise RuntimeError(
+                    f"inconsistent restore across hosts (steps={steps}); "
+                    "output_dir must be a shared filesystem"
+                )
         if restored is not None:
             state = replicate(mesh, restored)
             LOGGER.info("resumed from step %d", int(np.asarray(restored.step)))
@@ -494,7 +533,10 @@ def run_train_loop(
                     save_model_fn(state, global_step + 1)
             if restorer is not None and restorer.due(global_step + 1):
                 # the device_get (full params + optimizer state) happens only on
-                # save boundaries; doing it per-step would block async dispatch
+                # save boundaries; doing it per-step would block async dispatch.
+                # Multi-host: EVERY process calls save — orbax checkpointing is
+                # collective (primary host writes, the rest join its barrier;
+                # a rank-0-only call would deadlock the primary's barrier).
                 restorer.save(jax.device_get(state))
             if debug and global_step - start_step >= 3:
                 LOGGER.info("debug mode: stopping after %d steps", global_step + 1)
@@ -526,6 +568,8 @@ def default_save_model_fn(cfg: Config, model: AlproModel):
     from alpro_tpu.models.scan_utils import to_unrolled_layout
 
     def save(state, step):
+        # multi-host: all processes call — orbax saves are collective
+        # (primary host writes; see run_train_loop's restorer note)
         if cfg.get("output_dir"):
             save_params(
                 cfg.output_dir, step,

@@ -84,8 +84,13 @@ def build_pretrain_loaders(cfg: Config, tokenizer, use_mpm: bool):
                 resize_size=cfg.resize_size, crop_size=cfg.crop_img_size,
                 seed=cfg.get("seed", 42),
             )
+        from alpro_tpu.core.distributed import data_shards, local_batch_size
+
+        num_shards, shard_id = data_shards()
         loaders[spec["name"]] = BatchLoader(
-            ds, collator, cfg.train_batch_size, seed=cfg.get("seed", 42),
+            ds, collator, local_batch_size(cfg.train_batch_size),
+            seed=cfg.get("seed", 42),
+            num_shards=num_shards, shard_id=shard_id,
             num_workers=int(cfg.get("n_workers", 4)),
         )
     return loaders

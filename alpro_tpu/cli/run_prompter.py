@@ -40,7 +40,12 @@ def start_training(cfg: Config):
     collator = PretrainCollator(
         tokenizer, cfg.get("max_txt_len", 30), mlm=False, mpm=False,
     )
-    loader = BatchLoader(ds, collator, cfg.train_batch_size, seed=cfg.get("seed", 42),
+    from alpro_tpu.core.distributed import data_shards, local_batch_size
+
+    num_shards, shard_id = data_shards()
+    loader = BatchLoader(ds, collator, local_batch_size(cfg.train_batch_size),
+                         seed=cfg.get("seed", 42),
+                         num_shards=num_shards, shard_id=shard_id,
                          num_workers=int(cfg.get("n_workers", 4)))
 
     mesh, step_fn, state, num_steps, restorer = common.setup_training(

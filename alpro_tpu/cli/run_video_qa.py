@@ -170,8 +170,13 @@ def start_training(cfg: Config):
     train_ds = _mk_datasets(cfg, tokenizer, "train")
     val_ds = _mk_datasets(cfg, tokenizer, "val")
     col = _qa_collator(cfg, tokenizer)
+    from alpro_tpu.core.distributed import data_shards, local_batch_size
+
+    num_shards, shard_id = data_shards()
     train_loader = BatchLoader(
-        train_ds, col, cfg.train_batch_size, seed=cfg.get("seed", 42),
+        train_ds, col, local_batch_size(cfg.train_batch_size),
+        seed=cfg.get("seed", 42),
+        num_shards=num_shards, shard_id=shard_id,
         num_workers=int(cfg.get("n_workers", 4)),
     )
 

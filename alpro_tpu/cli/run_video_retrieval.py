@@ -44,9 +44,16 @@ def _mk_datasets(cfg: Config, tokenizer):
         seed=cfg.get("seed", 42), fps=cfg.get("fps", -1),
     )
     collator = RetrievalCollator(tokenizer, cfg.max_txt_len)
+    # per-host stripe of the dataset + 1/P of the global batch (the
+    # reference's DistributedSampler, `run_video_retrieval.py:115-117`)
+    from alpro_tpu.core.distributed import data_shards, local_batch_size
+
+    num_shards, shard_id = data_shards()
     train_loader = BatchLoader(
-        train_ds, collator, cfg.train_batch_size, shuffle=True,
-        seed=cfg.get("seed", 42), num_workers=int(cfg.get("n_workers", 4)),
+        train_ds, collator, local_batch_size(cfg.train_batch_size),
+        shuffle=True, seed=cfg.get("seed", 42),
+        num_shards=num_shards, shard_id=shard_id,
+        num_workers=int(cfg.get("n_workers", 4)),
     )
     val_rows = load_datalist(cfg.val_datasets[0]["txt"])
     eval_ds = RetrievalEvalDataset(

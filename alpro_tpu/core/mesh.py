@@ -36,6 +36,37 @@ def make_mesh(
     return Mesh(dev_array, axis_names)
 
 
+def select_devices(n: int) -> list:
+    """Pick `n` of the global devices for a mesh, multi-process-safe.
+
+    Single-process a plain prefix works; multi-process the prefix would put
+    every mesh device on process 0 and leave other hosts with zero
+    addressable shards (`make_array_from_process_local_data` then fails with
+    empty addressable_shards). Instead take n/P devices from EVERY process so
+    each host keeps an addressable slice of the mesh."""
+    devices = list(jax.devices())
+    if n == len(devices):
+        return devices
+    cnt = jax.process_count()
+    if cnt == 1:
+        return devices[:n]
+    if n % cnt != 0:
+        raise ValueError(
+            f"cannot lay {n} mesh devices over {cnt} processes evenly; "
+            f"adjust train_batch_size or mesh_shape"
+        )
+    per = n // cnt
+    picked = []
+    for p in range(cnt):
+        local = [d for d in devices if d.process_index == p]
+        if len(local) < per:
+            raise ValueError(
+                f"process {p} has {len(local)} devices, need {per}"
+            )
+        picked.extend(local[:per])
+    return picked
+
+
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis; replicate the rest."""
     spec = P(DATA_AXIS, *([None] * (ndim - 1)))
@@ -47,12 +78,35 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host-side batch pytree on the mesh, sharded over dp."""
+    """Place a host-side batch pytree on the mesh, sharded over dp.
+
+    Single-process: a plain device_put onto the NamedSharding. Multi-process
+    (after `core.distributed.maybe_initialize`): each host holds 1/P of the
+    global batch, so the global jax.Array is assembled with
+    `jax.make_array_from_process_local_data` — the host-local rows become
+    this host's shards of the global array, no cross-host transfer."""
+    multiprocess = jax.process_count() > 1
+
     def _put(x):
-        return jax.device_put(x, data_sharding(mesh, np.ndim(x) or 1))
+        sharding = data_sharding(mesh, np.ndim(x) or 1)
+        if multiprocess:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            )
+        return jax.device_put(x, sharding)
+
     return jax.tree_util.tree_map(_put, batch)
 
 
 def replicate(mesh: Mesh, tree):
+    """Replicate a host-side pytree onto every device of the mesh. In a
+    multi-process runtime every host must hold the same values (same-seed
+    init or a restored checkpoint — both deterministic here); the global
+    array is stitched from each host's local copy."""
     sharding = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        def _put(x):
+            x = np.asarray(x)
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.tree_util.tree_map(_put, tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
