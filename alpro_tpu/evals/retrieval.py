@@ -72,17 +72,47 @@ def eval_retrieval(
     )
     t2v = retrieval_metrics_from_matrix(score, t2v_gt)
 
-    gt_vid2txt = {v: t for t, v in gt_txt_id2vid_id.items()}
-    # the inversion keeps one caption per video — only valid for 1:1
-    # protocols (MSRVTT-1k, DiDeMo paragraph retrieval). Multi-caption v2t
-    # would need best-rank-over-captions; fail loudly instead of silently
-    # scoring against an arbitrary caption.
-    assert len(gt_vid2txt) == len(gt_txt_id2vid_id), (
-        "video2text eval requires a 1:1 text<->video ground truth; got "
-        f"{len(gt_txt_id2vid_id)} captions over {len(gt_vid2txt)} videos"
-    )
-    v2t_gt = np.asarray(
-        [txt_id2idx[gt_vid2txt[v]] for v in vid_ids], dtype=np.int64
-    )
-    v2t = retrieval_metrics_from_matrix(score.T, v2t_gt)
+    gt_vid2txts: Dict = defaultdict(list)
+    for t, v in gt_txt_id2vid_id.items():
+        gt_vid2txts[v].append(t)
+    if len(gt_vid2txts) == len(gt_txt_id2vid_id):
+        # 1:1 protocol (MSRVTT-1k, DiDeMo paragraph retrieval) — identical
+        # to the reference's inversion (`run_video_retrieval.py:559-629`)
+        v2t_gt = np.asarray(
+            [txt_id2idx[gt_vid2txts[v][0]] for v in vid_ids], dtype=np.int64
+        )
+        v2t = retrieval_metrics_from_matrix(score.T, v2t_gt)
+    else:
+        # multi-caption protocol (MSRVTT full split: 20 captions/video):
+        # a video's rank is the BEST rank among its ground-truth captions —
+        # the standard v2t convention the reference never needed (its eval
+        # sets are all 1:1). t2v above is unchanged (each caption still has
+        # exactly one ground-truth video).
+        v2t = retrieval_metrics_multi_gt(
+            score.T,
+            [[txt_id2idx[t] for t in gt_vid2txts[v]] for v in vid_ids],
+        )
     return dict(text2video=t2v, video2text=v2t)
+
+
+def retrieval_metrics_multi_gt(
+    score_matrix: np.ndarray, gt_cols: List[List[int]]
+) -> Dict[str, float]:
+    """Best-rank-over-candidates metrics: row i's rank is the highest-placed
+    (minimum 1-indexed position) of ANY of its ground-truth columns in the
+    descending sort of the row. Reduces to `retrieval_metrics_from_matrix`
+    when every row has exactly one ground-truth column."""
+    num_q = score_matrix.shape[0]
+    order = np.argsort(-score_matrix, axis=1, kind="stable")
+    ranks = np.empty(num_q, dtype=np.int64)
+    for i in range(num_q):
+        pos = np.where(np.isin(order[i], np.asarray(gt_cols[i])))[0]
+        assert pos.size == len(gt_cols[i]), "ground-truth column missing"
+        ranks[i] = int(pos.min()) + 1
+    return dict(
+        r1=100.0 * float(np.mean(ranks <= 1)),
+        r5=100.0 * float(np.mean(ranks <= 5)),
+        r10=100.0 * float(np.mean(ranks <= 10)),
+        medianR=float(np.median(ranks)),
+        meanR=float(np.mean(ranks)),
+    )

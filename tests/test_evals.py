@@ -79,20 +79,44 @@ def test_evaluate_qa_per_type():
     assert m["ratios"]["what_ratio"][1] == 2
 
 
-def test_eval_retrieval_rejects_multi_caption_v2t():
-    """The v2t GT inversion keeps one caption per video, which is only valid
-    for 1:1 protocols (MSRVTT-1k, DiDeMo). Multi-caption eval sets must be
-    rejected loudly instead of silently scoring one caption per video."""
-    import numpy as np
-    import pytest
-
+def test_eval_retrieval_multi_caption_v2t_best_rank():
+    """Multi-caption protocol (MSRVTT full split): a video's v2t rank is the
+    BEST rank among its ground-truth captions; t2v is unchanged (each caption
+    has one ground-truth video)."""
     from alpro_tpu.evals.retrieval import eval_retrieval
 
-    # 2 captions -> 1 video: inversion would silently drop one caption
+    # 2 videos, 3 captions: v0 has captions {t0, t1}, v1 has {t2}.
+    # Scores: v0 ranks its captions [t1(0.8) > t2(0.5) > t0(0.3)] — best GT
+    # rank 1; v1 ranks [t0(0.9) > t2(0.6) > t1(0.2)] — GT t2 at rank 2.
     results = [
-        {"txt_id": "t0", "vid_id": "v0", "score": 0.9, "sim": 0.5},
-        {"txt_id": "t1", "vid_id": "v0", "score": 0.8, "sim": 0.4},
+        {"txt_id": "t0", "vid_id": "v0", "score": 0.3, "sim": 0.1},
+        {"txt_id": "t1", "vid_id": "v0", "score": 0.8, "sim": 0.1},
+        {"txt_id": "t2", "vid_id": "v0", "score": 0.5, "sim": 0.1},
+        {"txt_id": "t0", "vid_id": "v1", "score": 0.9, "sim": 0.1},
+        {"txt_id": "t1", "vid_id": "v1", "score": 0.2, "sim": 0.1},
+        {"txt_id": "t2", "vid_id": "v1", "score": 0.6, "sim": 0.1},
     ]
-    gt = {"t0": "v0", "t1": "v0"}
-    with pytest.raises(AssertionError):
-        eval_retrieval(results, gt)
+    gt = {"t0": "v0", "t1": "v0", "t2": "v1"}
+    m = eval_retrieval(results, gt)
+    v2t = m["video2text"]
+    assert v2t["r1"] == 50.0      # v0 rank 1, v1 rank 2
+    assert v2t["r5"] == 100.0
+    assert v2t["meanR"] == 1.5
+    # t2v: t0 GT v0 scored (0.3 vs v1's 0.9) -> rank 2; t1 GT v0 (0.8 vs
+    # 0.2) -> rank 1; t2 GT v1 (0.6 vs 0.5) -> rank 1
+    t2v = m["text2video"]
+    np.testing.assert_allclose(t2v["r1"], 100 * 2 / 3, rtol=1e-6)
+    assert t2v["meanR"] == (2 + 1 + 1) / 3
+
+
+def test_retrieval_metrics_multi_gt_reduces_to_single():
+    """With exactly one GT column per row, multi-GT metrics equal the
+    single-GT implementation on the same matrix."""
+    from alpro_tpu.evals.retrieval import retrieval_metrics_multi_gt
+
+    rng = np.random.RandomState(0)
+    score = rng.rand(12, 9).astype(np.float32)
+    gt = rng.randint(0, 9, size=12)
+    a = retrieval_metrics_from_matrix(score, gt)
+    b = retrieval_metrics_multi_gt(score, [[int(g)] for g in gt])
+    assert a == b
