@@ -87,6 +87,15 @@ class TimeSformerConfig:
     # Only 'on' enables it; 'auto' currently resolves to the XLA path (the
     # fused kernel crashes the compiler at some shapes — docs/PARITY.md).
     fused_patchify: str = "auto"
+    # fold the uint8 /255-mean/std normalization into the patch-embed matmul:
+    # (v·a) @ W + (c @ W + b) with per-column a, c constants — the patchify
+    # relayout then moves 1-byte uint8 instead of 4-byte fp32 (4× less copy
+    # traffic) and the separate normalize pass disappears into the embed dot.
+    # 'auto' → on for bf16 compute (uint8 0–255 is exact in bf16; fp32 keeps
+    # the literal normalize-then-matmul order so parity tests stay bit-stable)
+    # | 'on' | 'off'. Mathematically identical (all-linear), differs only in
+    # float association.
+    fold_uint8_norm: str = "auto"
     # rematerialize each block on the backward pass (the reference's
     # per-block CheckpointFunction, `src/utils/grad_ckpt.py:23-42` used at
     # `timesformer/vit.py:150-208`); on TPU this trades HBM for FLOPs
@@ -707,7 +716,22 @@ class PatchEmbed(nn.Module):
             "bias", nn.initializers.zeros, (cfg.embed_dim,)
         )
 
-    def __call__(self, patches: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, patches: jnp.ndarray, uint8_norm: bool = False) -> jnp.ndarray:
+        if uint8_norm:
+            # fold the /255-mean/std normalize into the embed matmul: with
+            # per-column a_k = 1/(255·std_{k%C}), c_k = -mean_{k%C}/std_{k%C},
+            #   norm(v) @ W + b = v @ (a ⊙ W) + (c @ W + b).
+            # Patch columns are (ph, pw, c)-ordered, so column k ↔ channel
+            # k % C (same layout as the reference's strided conv kernel).
+            cfg = self.cfg
+            p = cfg.patch_size
+            mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
+            std = jnp.asarray(cfg.pixel_std, jnp.float32)
+            a = jnp.tile(1.0 / (255.0 * std), p * p)  # (K,)
+            c = jnp.tile(-mean / std, p * p)
+            w_eff = (self.kernel * a[:, None]).astype(self.dtype)
+            b_eff = (self.bias + c @ self.kernel).astype(self.dtype)
+            return patches.astype(self.dtype) @ w_eff + b_eff
         out = patches.astype(self.dtype) @ self.kernel.astype(self.dtype)
         return out + self.bias.astype(self.dtype)
 
@@ -750,6 +774,9 @@ class TimeSformer(nn.Module):
         D = cfg.embed_dim
         pe = PatchEmbed(cfg, dtype=self.dtype, name="patch_embed")
 
+        fold = cfg.fold_uint8_norm == "on" or (
+            cfg.fold_uint8_norm == "auto" and self.dtype == jnp.bfloat16
+        )
         if pixels.ndim == 4:  # pre-patchified (B, T, N, K)
             B, T, N, K = pixels.shape
             C = K // (p * p)
@@ -757,11 +784,20 @@ class TimeSformer(nn.Module):
             hp, wp = side, side
             v = pixels
             if v.dtype == jnp.uint8:
-                # per-column stats: column k ↔ channel k % C
-                mean_k = jnp.tile(jnp.asarray(cfg.pixel_mean, jnp.float32), p * p)
-                std_k = jnp.tile(jnp.asarray(cfg.pixel_std, jnp.float32), p * p)
-                v = (v.astype(jnp.float32) / 255.0 - mean_k) / std_k
-            x = pe(v)
+                if fold:
+                    x = pe(v, uint8_norm=True)
+                else:
+                    # per-column stats: column k ↔ channel k % C
+                    mean_k = jnp.tile(
+                        jnp.asarray(cfg.pixel_mean, jnp.float32), p * p
+                    )
+                    std_k = jnp.tile(
+                        jnp.asarray(cfg.pixel_std, jnp.float32), p * p
+                    )
+                    v = (v.astype(jnp.float32) / 255.0 - mean_k) / std_k
+                    x = pe(v)
+            else:
+                x = pe(v)
         else:
             B, T, H, W, C = pixels.shape
             hp, wp = H // p, W // p
@@ -769,6 +805,13 @@ class TimeSformer(nn.Module):
             use_fused = cfg.fused_patchify == "on"
             if pixels.dtype == jnp.uint8 and use_fused:
                 x = pe.fused(pixels)
+            elif pixels.dtype == jnp.uint8 and fold:
+                # patchify relayout on the 1-byte uint8 tensor (4× less copy
+                # traffic than the fp32 relayout below); the normalize rides
+                # the embed matmul via the folded weights
+                v = pixels.reshape(B, T, hp, p, wp, p, C)
+                v = v.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, T, N, p * p * C)
+                x = pe(v, uint8_norm=True)
             else:
                 if pixels.dtype == jnp.uint8:
                     mean = jnp.asarray(cfg.pixel_mean, jnp.float32)

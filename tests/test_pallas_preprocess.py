@@ -57,6 +57,35 @@ def test_fused_kernel_gradients():
     np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_x), rtol=1e-3, atol=1e-2)
 
 
+def test_fold_uint8_norm_matches_literal_normalize():
+    """fold_uint8_norm='on' (normalize folded into the embed matmul, uint8
+    relayout) == the literal /255-mean/std path, for both the raw 5-D and
+    the pre-patchified 4-D input; 'auto' under fp32 stays on the literal
+    path bit-exactly."""
+    rng = np.random.RandomState(3)
+    raw = rng.randint(0, 255, (2, 2, 48, 48, 3)).astype(np.uint8)
+    m_off = TimeSformer(dataclasses.replace(CFG, fold_uint8_norm="off"))
+    m_on = TimeSformer(dataclasses.replace(CFG, fold_uint8_norm="on"))
+    params = m_off.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(raw))
+    want = np.asarray(m_off.apply(params, jnp.asarray(raw)))
+    got = np.asarray(m_on.apply(params, jnp.asarray(raw)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    K = 16 * 16 * 3
+    v = (
+        raw.reshape(2, 2, 3, 16, 3, 16, 3)
+        .transpose(0, 1, 2, 4, 3, 5, 6)
+        .reshape(2, 2, 9, K)
+    )
+    got4 = np.asarray(m_on.apply(params, jnp.asarray(v)))
+    # 4-D folded ≡ 5-D folded (same math after the host-side repack)
+    np.testing.assert_allclose(got4, got, atol=0.0)
+
+    m_auto = TimeSformer(CFG)  # fp32 'auto' → literal path, bit-identical
+    auto = np.asarray(m_auto.apply(params, jnp.asarray(raw)))
+    assert np.array_equal(auto, want)
+
+
 def test_model_uint8_fused_equals_float_path():
     """TimeSformer(uint8, fused on) == TimeSformer(pre-normalized float)."""
     rng = np.random.RandomState(2)
