@@ -313,7 +313,8 @@ def convert_reference_state_dict(
     visual tower loaded non-strict, temporal params left at init
     (`run_pretrain_contrastive_only.py:155-161` `strict=not cfg.albef_init`).
     """
-    sd = dict(sd)
+    # NOTE: `sd` is only read, never mutated — no defensive copy, so callers
+    # (e.g. the key-manifest gate) can pass instrumented mappings.
     text_prefix = "text_encoder.bert."
     if not any(k.startswith(text_prefix) for k in sd):
         text_prefix = "text_encoder."
