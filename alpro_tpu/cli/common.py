@@ -140,6 +140,13 @@ def build_model_from_cfg(cfg: Config, task: str) -> AlproModel:
     remat_policy = cfg.get("remat_policy", "dots_ln")
     bert = dataclasses.replace(bert, remat_policy=remat_policy)
     vis = dataclasses.replace(vis, remat_policy=remat_policy)
+    mesh_shape = cfg.get("mesh_shape")
+    if mesh_shape is not None and len(mesh_shape) == 2 and int(mesh_shape[1]) > 1:
+        # 2D dp×sp mesh (`--mesh_shape DP SP`): long-video sequence
+        # parallelism — the temporal attention's frame axis is sharded over
+        # sp (models/timesformer.py sp_axis; setup_training activates the
+        # mesh context around the train step)
+        vis = dataclasses.replace(vis, sp_axis="sp")
     dtype = compute_dtype(cfg)
     if task == "retrieval":
         return build_retrieval_model(bert, vis, dtype=dtype)
@@ -402,9 +409,12 @@ def setup_training(cfg: Config, model: AlproModel, make_step: Callable,
                 bs, n_dev, n,
             )
         shape = [n]
-    from alpro_tpu.core.mesh import select_devices
+    from alpro_tpu.core.mesh import axis_names_for_shape, select_devices
 
-    mesh = make_mesh(devices=select_devices(int(np.prod(shape))), shape=shape)
+    mesh = make_mesh(
+        devices=select_devices(int(np.prod(shape))), shape=shape,
+        axis_names=axis_names_for_shape(shape),
+    )
     state = replicate(mesh, TrainState.create(params, tx))
     if extra_repl_args:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -418,6 +428,16 @@ def setup_training(cfg: Config, model: AlproModel, make_step: Callable,
         )
     else:
         step = shard_step(make_step(model, tx), mesh)
+
+    if "sp" in mesh.axis_names:
+        # bare-PartitionSpec sharding constraints inside the model (sp_axis)
+        # resolve against the ambient mesh at trace time — activate it
+        # around every step call (first call traces/compiles)
+        inner_step = step
+
+        def step(*args):  # noqa: F811
+            with jax.set_mesh(mesh):
+                return inner_step(*args)
 
     save_steps = max(
         1, int(cfg.get("save_steps_ratio", 0.05) * num_train_steps)

@@ -172,7 +172,10 @@ def shared_training_args(parser: argparse.ArgumentParser) -> argparse.ArgumentPa
     parser.add_argument("--inference_n_clips", type=int, default=1)
     # TPU-native additions
     parser.add_argument("--mesh_shape", type=int, nargs="+", default=None,
-                        help="device mesh shape, e.g. --mesh_shape 8 for dp=8")
+                        help="device mesh shape: --mesh_shape 8 for dp=8; "
+                        "--mesh_shape 4 2 for a 2D dp=4 x sp=2 mesh (sp "
+                        "shards the temporal-attention frame axis — "
+                        "long-video sequence parallelism)")
     parser.add_argument("--attn_impl", type=str, default="auto",
                         choices=["auto", "xla", "pallas"])
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",

@@ -18,6 +18,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "dp"
 MODEL_AXIS = "tp"
+SEQ_AXIS = "sp"
+
+
+def axis_names_for_shape(shape) -> tuple:
+    """Mesh axis names by rank: 1D → (dp,), 2D → (dp, sp).
+
+    The 2D layout is the long-video configuration: batch over dp, the
+    TimeSformer temporal-attention frame axis over sp
+    (`parallel/seq_parallel.py`, `models/timesformer.py` sp_axis)."""
+    n = len(shape)
+    if n == 1:
+        return (DATA_AXIS,)
+    if n == 2:
+        return (DATA_AXIS, SEQ_AXIS)
+    raise ValueError(f"unsupported mesh rank {n}; use 1 (dp) or 2 (dp, sp)")
+
+
+def maybe_shard_axis(x, axis: Optional[str], dim: int):
+    """GSPMD constraint: shard x's `dim` over mesh axis `axis`, leaving every
+    other dim unconstrained (so e.g. an existing dp batch sharding is kept).
+
+    No-op when `axis` is None or no ambient mesh carrying `axis` is active at
+    trace time — callers activate one with `with jax.set_mesh(mesh):` around
+    the jitted call (see `cli/common.py::setup_training`); traces without the
+    context (param init, plain eval jits) compile exactly as before."""
+    if not axis:
+        return x
+    am = jax.sharding.get_abstract_mesh()
+    if am.empty or axis not in am.axis_names:
+        return x
+    from jax.sharding import PartitionSpec
+
+    U = PartitionSpec.UNCONSTRAINED
+    spec = PartitionSpec(*[axis if i == dim else U for i in range(x.ndim)])
+    return jax.lax.with_sharding_constraint(x, spec)
 
 
 def make_mesh(

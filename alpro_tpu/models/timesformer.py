@@ -110,6 +110,15 @@ class TimeSformerConfig:
     # docs/PERF.md). Changes the param tree (blocks_{i}/* → blocks/block/*
     # stacked on axis 0); convert with `models.scan_utils.stack_block_params`.
     scan_blocks: bool = False
+    # sequence-parallel long-video mode: name of the mesh axis the temporal
+    # attention's frame dim is sharded over (the 2D dp×sp layout,
+    # `core/mesh.py::axis_names_for_shape`). Implemented as a GSPMD sharding
+    # constraint on the (B·N, T, D) relayout — XLA inserts the K/V
+    # all-gather, exactly the `parallel/seq_parallel.py` schedule — and only
+    # active when a mesh carrying the axis is ambient at trace time
+    # (`core.mesh.maybe_shard_axis`); otherwise compiles unchanged. No
+    # reference counterpart (SURVEY.md §2.10: the reference replicates T).
+    sp_axis: Optional[str] = None
 
     @property
     def patches_per_side(self) -> int:
@@ -296,6 +305,7 @@ class DividedSTBlock(nn.Module):
                     and D % 128 == 0
                     and 128 % (D // cfg.num_heads) == 0
                     and deterministic  # see spatial auto: training OOMs
+                    and not cfg.sp_axis  # sp shards T via the XLA path
                 )
                 else "xla"
             )
@@ -416,6 +426,13 @@ class DividedSTBlock(nn.Module):
         else:
             xt = LayerNorm(cfg.ln_eps, dtype=self.dtype, name="temporal_norm1")(x)
             xt = jnp.moveaxis(xt, 1, 2).reshape(B * N, T, D)
+            if cfg.sp_axis:
+                # long-video sequence parallelism: frame axis sharded over
+                # the sp mesh axis; GSPMD all-gathers K/V inside the
+                # attention (no-op without an ambient sp mesh)
+                from alpro_tpu.core.mesh import maybe_shard_axis
+
+                xt = maybe_shard_axis(xt, cfg.sp_axis, 1)
             t_out = VitAttention(
                 cfg.num_heads,
                 dtype=self.dtype,
@@ -424,6 +441,10 @@ class DividedSTBlock(nn.Module):
                 attn_impl="xla",  # T <= 16: too small for the fused kernel
                 name="temporal_attn",
             )(xt, deterministic)
+            if cfg.sp_axis:
+                from alpro_tpu.core.mesh import maybe_shard_axis
+
+                t_out = maybe_shard_axis(t_out, cfg.sp_axis, 1)
             t_out = jnp.moveaxis(t_out.reshape(B, N, T, D), 1, 2)  # (B, T, N, D)
         if not t_fused_done:
             # remat tag: with remat_policy='names' the backward pass reuses
