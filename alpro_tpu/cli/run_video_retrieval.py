@@ -74,7 +74,7 @@ def _jit_eval_fns(model):
     cached = _INFER_CACHE.get(key)
     if cached is None or cached[0] is not model:
         from alpro_tpu.train.step import (
-            make_fusion_score_fn,
+            make_fusion_score_pairs_fn,
             make_text_encode_fn,
             make_video_embed_fn,
         )
@@ -84,7 +84,7 @@ def _jit_eval_fns(model):
             (
                 jax.jit(make_text_encode_fn(model)),
                 jax.jit(make_video_embed_fn(model)),
-                jax.jit(make_fusion_score_fn(model)),
+                jax.jit(make_fusion_score_pairs_fn(model)),
             ),
         )
     return _INFER_CACHE[key][1]
@@ -152,32 +152,31 @@ def inference_retrieval(model, params, eval_ds, tokenizer, cfg: Config) -> List[
             clips = np.concatenate([clips, np.repeat(clips[-1:], pad, 0)])
         video_embeds, vfeat = embed_video(params, clips)
         sims_block = np.asarray(vfeat) @ text_feat_all.T / temp  # (vb, n_text)
-        for bi, video in enumerate(videos):
-            sims = sims_block[bi]
-            if vtc_only:
-                for j in range(n_text):
-                    results.append(dict(
-                        vid_id=video["vid_id"],
-                        txt_id=texts[j]["txt_id"],
-                        score=float(sims[j]),
-                        sim=float(sims[j]),
-                    ))
-                continue
+        if not vtc_only:
+            # one dispatch scores ALL vid_bsz videos against a text chunk
+            # (V×C pairs batched into the fusion forward) — vs the
+            # reference's per-(video, chunk) loop,
+            # `run_video_retrieval.py:644-670`
+            probs_block = np.empty((len(videos), n_text), np.float32)
             for ci, start in enumerate(range(0, ids_p.shape[0], eval_bsz)):
                 logits = fusion_score(
                     params, text_embeds_chunks[ci],
                     mask_p[start : start + eval_bsz],
-                    video_embeds[bi : bi + 1],
-                )
-                probs = np.asarray(jax.nn.softmax(logits, axis=-1))[:, 1]
+                    video_embeds,
+                )  # (vid_bsz, eval_bsz, 2)
+                probs = np.asarray(jax.nn.softmax(logits, axis=-1))[..., 1]
                 end = min(start + eval_bsz, n_text)
-                for j in range(end - start):
-                    results.append(dict(
-                        vid_id=video["vid_id"],
-                        txt_id=texts[start + j]["txt_id"],
-                        score=float(probs[j]),
-                        sim=float(sims[start + j]),
-                    ))
+                probs_block[:, start:end] = probs[: len(videos), : end - start]
+        for bi, video in enumerate(videos):
+            sims = sims_block[bi]
+            row = sims if vtc_only else probs_block[bi]
+            for j in range(n_text):
+                results.append(dict(
+                    vid_id=video["vid_id"],
+                    txt_id=texts[j]["txt_id"],
+                    score=float(row[j]),
+                    sim=float(sims[j]),
+                ))
         if (vend % 50) < vid_bsz:
             LOGGER.info("scored %d/%d videos (%.1fs)", vend, len(my_videos),
                         time.time() - st)

@@ -242,6 +242,28 @@ def make_fusion_score_fn(model: AlproModel) -> Callable:
     return score
 
 
+def make_fusion_score_pairs_fn(model: AlproModel) -> Callable:
+    """VTM logits for the full V×C cross product of pre-encoded videos and
+    texts in ONE dispatch: (V, Nv, D) videos × (C, L, D) texts → (V, C, 2).
+
+    The reference's eval loops fusion per (video, text-chunk) pair
+    (`run_video_retrieval.py:644-670`); batching the pairs into one fused
+    forward keeps the MXU fed and cuts the per-dispatch host round-trips
+    V-fold (measured: benchmarks/full_eval.py)."""
+
+    def score(params, text_embeds, text_mask, video_embeds):
+        V = video_embeds.shape[0]
+        C = text_embeds.shape[0]
+        te = jnp.tile(text_embeds, (V, 1, 1))          # video-major pairs
+        tm = jnp.tile(text_mask, (V, 1))
+        ve = jnp.repeat(video_embeds, C, axis=0)
+        fusion = model.apply(params, te, tm, ve, method=model.fuse)
+        logits = model.apply(params, fusion[:, 0, :], method=model.itm_logits)
+        return logits.reshape(V, C, 2)
+
+    return score
+
+
 def make_retrieval_inference_fn(model: AlproModel) -> Callable:
     """1 video vs N texts (`alpro_models.py:874-914`): returns VTC sims
     (1, N) and per-pair VTM logits (N, 2)."""

@@ -1,12 +1,15 @@
 """Benchmark suite for the driver: guaranteed ONE JSON line, headline first.
 
 Headline (`metric`/`value`/`unit`/`vs_baseline`): chip-side embed throughput,
-clips/sec/chip through normalize→TimeSformer-B/16 (8×224×224, bf16) on
-device-resident uint8 — the chip's capability once the input pipeline keeps
-it fed (a real TPU host feeds PCIe >10 GB/s, where this 19 MB uint8 batch
-costs ~2 ms against >60 ms of compute; this sandbox's ~60–210 MB/s tunnel
-measures the tunnel instead — reported separately as
-`host_fed_via_tunnel_clips_per_sec`).
+clips/sec/chip through TimeSformer-B/16 (8×224×224, bf16) on device-resident
+pre-patchified uint8 — the C++ decoder emits the (T, N, p·p·C) patch layout
+(`media repack_patches`) and the /255-mean/std normalize is folded into the
+patch-embed matmul (`fold_uint8_norm`), so the chip does zero ingest
+relayout (measured ladder: benchmarks/embed_variants.py). This is the chip's
+capability once the input pipeline keeps it fed (a real TPU host feeds PCIe
+>10 GB/s, where this 19 MB uint8 batch costs ~2 ms against ~60 ms of
+compute; this sandbox's ~60–210 MB/s tunnel measures the tunnel instead —
+reported separately as `host_fed_via_tunnel_clips_per_sec`).
 
 Output protocol (round-3 restructure; round 2's bench outgrew the driver
 timeout and recorded nothing). EXACTLY ONE JSON line, rc 0, in every path:
@@ -68,8 +71,10 @@ TOTAL_BUDGET_S = float(os.environ.get("ALPRO_BENCH_BUDGET_S", "1140"))
 _START = time.perf_counter()
 
 _HEADLINE_METRIC = (
-    "clips/sec/chip embed (TimeSformer-B 8x224 bf16, device-resident uint8; "
-    "decode measured separately)"
+    "clips/sec/chip embed (TimeSformer-B 8x224 bf16, device-resident "
+    "pre-patchified uint8 — the C++ decoder emits patch layout "
+    "(media repack_patches) and normalize rides the embed matmul "
+    "(fold_uint8_norm); decode measured separately)"
 )
 _state = {"value": 0.0, "printed": False, "extras": {}}
 _lock = threading.Lock()
@@ -119,8 +124,24 @@ def _watchdog():
     os._exit(0)
 
 
+def _repack_np(raw: np.ndarray, p: int = 16) -> np.ndarray:
+    """(B, T, H, W, C) uint8 → (B, T, N, p·p·C) patch-major (numpy mirror of
+    the C++ `repack_patches`; used for synthetic feeds)."""
+    B, T_, H, W, C = raw.shape
+    hp, wp = H // p, W // p
+    v = raw.reshape(B, T_, hp, p, wp, p, C)
+    return np.ascontiguousarray(
+        v.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, T_, hp * wp, p * p * C)
+    )
+
+
 def bench_decoder(out: dict):
-    """Standalone C++ decoder throughput on encoded fixture videos."""
+    """Standalone C++ decoder throughput on encoded fixture videos.
+
+    Thread sweep (1/2/4/8) + the host core count: the 'a production host
+    feeds the chip' claim rests on clips/s/core × cores; this sandbox is
+    core-limited (1 core), so the sweep documents the scaling evidence that
+    is measurable here rather than asserting beyond it."""
     from alpro_tpu.media.binding import MediaDecoder
     from alpro_tpu.data.sampling import fit_num_frames, sample_frame_indices
 
@@ -142,6 +163,7 @@ def bench_decoder(out: dict):
         return clip
 
     n = 16
+    out["decode_host_cores"] = os.cpu_count() or 1
     t0 = time.perf_counter()
     for i in range(n):
         decode_one(paths[i % len(paths)], dec)
@@ -149,10 +171,16 @@ def bench_decoder(out: dict):
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(4) as pool:
-        t0 = time.perf_counter()
-        list(pool.map(lambda p: decode_one(p, dec), [paths[i % len(paths)] for i in range(n)]))
-        out["decode_clips_per_sec_4thread"] = round(n / (time.perf_counter() - t0), 2)
+    for nthreads in (2, 4, 8):
+        with ThreadPoolExecutor(nthreads) as pool:
+            t0 = time.perf_counter()
+            list(pool.map(
+                lambda p: decode_one(p, dec),
+                [paths[i % len(paths)] for i in range(n)],
+            ))
+            out[f"decode_clips_per_sec_{nthreads}thread"] = round(
+                n / (time.perf_counter() - t0), 2
+            )
     return paths
 
 
@@ -226,7 +254,7 @@ def _run(extras):
     cfg = TimeSformerConfig(
         img_size=S, patch_size=16, num_frames=T, embed_dim=768, depth=12,
         num_heads=12, drop_path_rate=0.0, scan_blocks=True,
-    )
+    )  # fold_uint8_norm='auto' → on under bf16 (normalize rides the embed dot)
     model = TimeSformer(cfg, dtype=jnp.bfloat16)
     params = model.init(
         {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, T, S, S, 3), jnp.bfloat16)
@@ -239,13 +267,15 @@ def _run(extras):
     )
 
     @jax.jit
-    def embed_checksum(params, raw_uint8):
-        # uint8 → on-device normalize (cfg.pixel_mean/std inside the model)
-        return model.apply(params, raw_uint8).astype(jnp.float32).sum()
+    def embed_checksum(params, patches_uint8):
+        # pre-patchified (B, T, N, p·p·C) uint8 — the layout the C++
+        # decoder's repack_patches emits; no on-device patchify relayout
+        # (measured ladder: benchmarks/embed_variants.py, docs/PERF.md r4)
+        return model.apply(params, patches_uint8).astype(jnp.float32).sum()
 
     rng = np.random.RandomState(0)
     host_clips = [
-        rng.randint(0, 255, size=(B, T, S, S, 3), dtype=np.uint8)
+        _repack_np(rng.randint(0, 255, size=(B, T, S, S, 3), dtype=np.uint8))
         for _ in range(4)
     ]
 
@@ -372,7 +402,10 @@ def _pipeline_decode_embed(paths, embed_checksum, params) -> float:
         idx = fit_num_frames(sample_frame_indices(info.num_frames, T, "uniform"), T)
         clip = dec.decode_frames(path, idx, 256, 256)
         off = (256 - S) // 2
-        return clip[:, off : off + S, off : off + S, :]
+        # C++ repack to the (T, N, p·p·C) patch layout the embed consumes
+        return dec.repack_patches(
+            np.ascontiguousarray(clip[:, off : off + S, off : off + S, :])
+        )
 
     qq: "queue.Queue" = queue.Queue(maxsize=2)
 

@@ -54,3 +54,22 @@ def test_fast_eval_equals_naive():
     np.testing.assert_allclose(
         np.asarray(logits), np.asarray(naive["logits"]), rtol=1e-4, atol=1e-5
     )
+
+    # the batched V×C pair scorer (one dispatch for several videos — the
+    # eval-loop default) must reproduce the per-video scorer exactly
+    from alpro_tpu.train.step import make_fusion_score_pairs_fn
+
+    clips3 = jnp.asarray(rng.rand(3, 2, 32, 32, 3).astype(np.float32))
+    vemb3, _ = make_video_embed_fn(model)(params, clips3)
+    pair_logits = make_fusion_score_pairs_fn(model)(
+        params, text_embeds, mask, vemb3
+    )
+    assert pair_logits.shape == (3, n_text, 2)
+    for vi in range(3):
+        per_video = make_fusion_score_fn(model)(
+            params, text_embeds, mask, vemb3[vi : vi + 1]
+        )
+        np.testing.assert_allclose(
+            np.asarray(pair_logits[vi]), np.asarray(per_video),
+            rtol=1e-5, atol=1e-5,
+        )
