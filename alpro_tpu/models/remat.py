@@ -29,7 +29,7 @@ BERT_ATTN = "bert_attn_out"
 SAVED_NAMES = (TS_TEMPORAL_ATTN, TS_SPATIAL_ATTN, BERT_ATTN)
 
 REMAT_POLICIES = ("nothing", "dots", "dots_all", "dots_names", "names",
-                  "dots_rng", "dots_ln")
+                  "dots_rng", "dots_ln", "dots_ln_offload")
 
 # LayerNorm per-row statistics (mean, raw variance) tagged in
 # ops/layers.py::layernorm_apply — 1/D the activation size, so saving them
@@ -72,6 +72,25 @@ def resolve_remat_policy(name: str):
             jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             jax.checkpoint_policies.save_only_these_names(LN_STAT),
         )
+    if name == "dots_ln_offload":
+        # dots_ln, plus the per-block attention outputs moved to pinned HOST
+        # memory instead of recomputed or held in HBM: the backward DMAs
+        # them back, trading HBM residency for PCIe/offload traffic
+        # (jax.checkpoint_policies.save_and_offload_only_these_names).
+        offload = jax.checkpoint_policies.save_and_offload_only_these_names(
+            names_which_can_be_saved=[],
+            names_which_can_be_offloaded=list(SAVED_NAMES),
+            offload_src="device", offload_dst="pinned_host",
+        )
+        base = resolve_remat_policy("dots_ln")
+
+        def policy(prim, *args, **params):
+            o = offload(prim, *args, **params)
+            if not isinstance(o, bool) or o:
+                return o  # Offloadable (or save) for the tagged names
+            return base(prim, *args, **params)
+
+        return policy
     if name == "dots_all":
         # every dot output incl. batched attention einsums — largest memory
         return jax.checkpoint_policies.dots_saveable

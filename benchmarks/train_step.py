@@ -21,7 +21,8 @@ import numpy as np
 def measure_train_step(batch=8, iters=8, num_frm=8, img_size=224, depth=12,
                        grad_ckpt=True, bert_grad_ckpt=None,
                        remat_policy="nothing", scan_blocks=True,
-                       mu_dtype=None, nu_dtype=None) -> dict:
+                       mu_dtype=None, nu_dtype=None,
+                       attn_impl="auto", temporal_attn_impl="auto") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -48,6 +49,7 @@ def measure_train_step(batch=8, iters=8, num_frm=8, img_size=224, depth=12,
         img_size=img_size, patch_size=16, num_frames=num_frm,
         depth=depth, drop_path_rate=0.1, scan_blocks=scan_blocks,
         gradient_checkpointing=grad_ckpt, remat_policy=remat_policy,
+        attn_impl=attn_impl, temporal_attn_impl=temporal_attn_impl,
     )
     bert = BertConfig(scan_blocks=scan_blocks,
                       gradient_checkpointing=bert_grad_ckpt,
@@ -109,19 +111,25 @@ def main():
     ap.add_argument("--grad_ckpt", type=int, default=1)
     ap.add_argument("--remat_policy", type=str, default="dots_ln",
                     choices=["nothing", "dots", "dots_all", "dots_names",
-                             "names", "dots_rng", "dots_ln"])
+                             "names", "dots_rng", "dots_ln",
+                             "dots_ln_offload"])
     ap.add_argument("--scan", type=int, default=1,
                     help="scan_blocks (0 = unrolled block stack)")
     ap.add_argument("--mu_dtype", type=str, default=None,
                     help="AdamW first-moment dtype (e.g. bfloat16)")
     ap.add_argument("--nu_dtype", type=str, default=None,
                     help="AdamW second-moment dtype (e.g. bfloat16)")
+    ap.add_argument("--attn_impl", type=str, default="auto",
+                    help="spatial attention lowering (fused_qkv forces the "
+                         "Pallas kernel in training)")
+    ap.add_argument("--temporal_attn_impl", type=str, default="auto")
     args = ap.parse_args()
     r = measure_train_step(
         batch=args.batch, iters=args.iters, num_frm=args.num_frm,
         img_size=args.img_size, depth=args.depth, grad_ckpt=bool(args.grad_ckpt),
         remat_policy=args.remat_policy, scan_blocks=bool(args.scan),
         mu_dtype=args.mu_dtype, nu_dtype=args.nu_dtype,
+        attn_impl=args.attn_impl, temporal_attn_impl=args.temporal_attn_impl,
     )
     print(json.dumps({
         "metric": f"train clips/s (retrieval step, B={args.batch}, VTC+VTM, "
