@@ -189,3 +189,22 @@ def test_decode_nonzero_start_container(tmp_path):
     assert np.abs(a[0].astype(int) - b[0].astype(int)).mean() < 3.0
     # and the frames genuinely differ from each other (not one clamped frame)
     assert np.abs(b[0].astype(int) - b[3].astype(int)).mean() > 5
+
+
+def test_repack_patches_matches_numpy_layout(decoder):
+    """C++ `repack_patches` == the numpy reshape/transpose mirror used by
+    synthetic feeds (`bench.py::_repack_np`): (T, H, W, C) uint8 →
+    (T, N, p·p·C) with (ph, pw, c)-ordered patch columns — the layout the
+    patch-embed kernel and fold_uint8_norm assume."""
+    rng = np.random.RandomState(7)
+    p = 16
+    frames = rng.randint(0, 255, (3, 48, 64, 3), dtype=np.uint8)
+    got = decoder.repack_patches(frames, patch_size=p)
+    T, H, W, C = frames.shape
+    hp, wp = H // p, W // p
+    want = (
+        frames.reshape(T, hp, p, wp, p, C)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(T, hp * wp, p * p * C)
+    )
+    np.testing.assert_array_equal(got, want)
