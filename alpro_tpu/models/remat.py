@@ -29,7 +29,7 @@ BERT_ATTN = "bert_attn_out"
 SAVED_NAMES = (TS_TEMPORAL_ATTN, TS_SPATIAL_ATTN, BERT_ATTN)
 
 REMAT_POLICIES = ("nothing", "dots", "dots_all", "dots_names", "names",
-                  "dots_rng", "dots_ln", "dots_ln_offload")
+                  "dots_rng", "dots_ln", "dots_ln_offload", "dots_ln_names")
 
 # LayerNorm per-row statistics (mean, raw variance) tagged in
 # ops/layers.py::layernorm_apply — 1/D the activation size, so saving them
@@ -71,6 +71,17 @@ def resolve_remat_policy(name: str):
         return jax.checkpoint_policies.save_from_both_policies(
             jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             jax.checkpoint_policies.save_only_these_names(LN_STAT),
+        )
+    if name == "dots_ln_names":
+        # dots_ln ∪ the tagged attention outputs. With the Pallas custom_vjp
+        # attention kernels, this is the policy that stops the rematted
+        # backward from re-running the kernel forward: the kernel's output
+        # is saved by name and its bwd residual (the packed qkv) is a dot
+        # output already saved by `dots`, so partial-eval DCEs the second
+        # kernel launch entirely.
+        return jax.checkpoint_policies.save_from_both_policies(
+            resolve_remat_policy("dots_ln"),
+            jax.checkpoint_policies.save_only_these_names(*SAVED_NAMES),
         )
     if name == "dots_ln_offload":
         # dots_ln, plus the per-block attention outputs moved to pinned HOST

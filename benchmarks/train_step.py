@@ -112,7 +112,7 @@ def main():
     ap.add_argument("--remat_policy", type=str, default="dots_ln",
                     choices=["nothing", "dots", "dots_all", "dots_names",
                              "names", "dots_rng", "dots_ln",
-                             "dots_ln_offload"])
+                             "dots_ln_offload", "dots_ln_names"])
     ap.add_argument("--scan", type=int, default=1,
                     help="scan_blocks (0 = unrolled block stack)")
     ap.add_argument("--mu_dtype", type=str, default=None,
