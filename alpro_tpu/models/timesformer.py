@@ -257,6 +257,33 @@ class TemporalNativeLayoutAttention(nn.Module):
         return nn.Dropout(self.proj_drop_rate)(out, deterministic=deterministic)
 
 
+def _temporal_auto_impl(T, D, num_heads, deterministic, sp_axis,
+                        on_tpu) -> str:
+    """Resolve temporal_attn_impl='auto' — measured on v5e (docs/PERF.md):
+    the packed-qkv δ-roll kernel with the folded proj·temporal_fc output
+    matmul is the serving winner (68.7 → 66.8 ms/batch over plain
+    fused_qkv). Constraints that force the XLA relayout+einsum path:
+
+    * T > 8 — the kernel's VMEM blocks are (1, T, N, lane), linear in T:
+      T=8 (retrieval/pretrain flagship) fits the 16 MB scoped-vmem limit,
+      T=16 (the QA config) measured 34.18 MB and fails Mosaic compilation
+      (found by benchmarks/qa_latency.py, round 4);
+    * training (`not deterministic`) — no attention-dropout path, and the
+      custom_vjp residuals OOM at flagship batch (docs/PERF.md);
+    * lane-illegal dims (D % 128, head_dim not a 128 divisor);
+    * sp sharding — the sp mesh axis shards T via the XLA path.
+    """
+    ok = (
+        on_tpu
+        and T <= 8
+        and D % 128 == 0
+        and 128 % (D // num_heads) == 0
+        and deterministic
+        and not sp_axis
+    )
+    return "fused_qkv_fold" if ok else "xla"
+
+
 class DividedSTBlock(nn.Module):
     """One divided space-time block operating on (cls (B,1,D), x (B,T,N,D))."""
 
@@ -291,23 +318,10 @@ class DividedSTBlock(nn.Module):
         # ---- temporal attention over T at each patch location ----
         t_impl = cfg.temporal_attn_impl
         if t_impl == "auto":
-            # measured in-model on v5e (docs/PERF.md round 2): the packed-qkv
-            # δ-roll kernel with the folded proj·temporal_fc output matmul is
-            # the serving winner (68.7 → 66.8 ms/batch over plain fused_qkv);
-            # the kernel has no attention-dropout path, so training keeps XLA
             from alpro_tpu.ops.attention import _on_tpu
 
-            t_impl = (
-                "fused_qkv_fold"
-                if (
-                    _on_tpu()
-                    and T <= 32
-                    and D % 128 == 0
-                    and 128 % (D // cfg.num_heads) == 0
-                    and deterministic  # see spatial auto: training OOMs
-                    and not cfg.sp_axis  # sp shards T via the XLA path
-                )
-                else "xla"
+            t_impl = _temporal_auto_impl(
+                T, D, cfg.num_heads, deterministic, cfg.sp_axis, _on_tpu()
             )
         if (
             t_impl

@@ -1,0 +1,104 @@
+"""p50 per-question video-QA latency (the serving shape of open-ended QA).
+
+One "question" is: tokenize, then one jitted forward — video tower over the
+already-decoded clip(s), text tower, fusion, classifier head — through
+`serving.qa.VideoQAPredictor.predict` (the same multi-clip ensembling the
+reference evaluates with, `/root/reference/src/tasks/run_video_qa.py:251-279`).
+Flagship shapes: ViT-B/16, BERT-base, T=16 frames (the reference QA config,
+`config_release/msrvtt_qa.json`), MSRVTT-QA's 1500 answer labels.
+
+Usage: python benchmarks/qa_latency.py [--n_clips 1] [--queries 30]
+Prints one JSON line with p50/p90 ms per question.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def measure_qa_latency(n_clips=1, queries=30, num_frm=16, img_size=224,
+                       num_labels=1500, max_txt_len=25) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from alpro_tpu.core.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    from alpro_tpu.data.tokenization import WordPieceTokenizer, make_test_vocab
+    from alpro_tpu.models import BertConfig, TimeSformerConfig, build_qa_model
+    from alpro_tpu.serving.qa import VideoQAPredictor
+
+    vis = TimeSformerConfig(
+        img_size=img_size, patch_size=16, num_frames=num_frm,
+        drop_path_rate=0.0, scan_blocks=True,
+    )
+    bert = BertConfig(scan_blocks=True)
+    model = build_qa_model(bert, vis, num_labels=num_labels,
+                           img_size=img_size, num_frm=num_frm,
+                           dtype=jnp.bfloat16)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, num_frm, img_size, img_size, 3), jnp.bfloat16),
+        jnp.zeros((1, max_txt_len), jnp.int32),
+        jnp.ones((1, max_txt_len), jnp.int32),
+    )
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params,
+    )
+    ans2label = {f"answer_{i}": i for i in range(num_labels)}
+    qa = VideoQAPredictor(
+        model, params, WordPieceTokenizer(make_test_vocab()), ans2label,
+        max_txt_len=max_txt_len,
+    )
+    rng = np.random.RandomState(0)
+    clips = rng.randint(
+        0, 255, (n_clips, num_frm, img_size, img_size, 3), np.uint8
+    )
+
+    t0 = time.perf_counter()
+    qa.predict(clips, "what is the man doing")  # predict() reads back probs
+    compile_s = time.perf_counter() - t0
+
+    lat = []
+    questions = ["what is the man doing", "who is on the stage",
+                 "how many dogs are running", "where is the red car"]
+    for i in range(queries):
+        t0 = time.perf_counter()
+        qa.predict(clips, questions[i % len(questions)])
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat.sort()
+    return {
+        "p50_ms": lat[len(lat) // 2],
+        "p90_ms": lat[int(len(lat) * 0.9)],
+        "compile_s": compile_s,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_clips", type=int, default=1)
+    ap.add_argument("--queries", type=int, default=30)
+    ap.add_argument("--num_frm", type=int, default=16)
+    args = ap.parse_args()
+    r = measure_qa_latency(n_clips=args.n_clips, queries=args.queries,
+                           num_frm=args.num_frm)
+    print(json.dumps({
+        "metric": f"video-QA latency per question (ViT-B/16 T={args.num_frm}, "
+                  f"{args.n_clips} clip(s), 1500 labels)",
+        "p50_ms": round(r["p50_ms"], 1),
+        "p90_ms": round(r["p90_ms"], 1),
+        "unit": "ms",
+        "compile_s": round(r["compile_s"], 1),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

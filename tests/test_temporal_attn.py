@@ -111,3 +111,22 @@ def test_packed_gradients_match_reference_math():
         lambda x: (temporal_attention_packed(x, 3, pack=4) ** 2).sum()
     )(qkv)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=1e-4, rtol=1e-4)
+
+
+def test_temporal_auto_impl_gate():
+    """auto → fused kernel only inside its measured envelope: T ≤ 8 (the
+    kernel's (1, T, N, lane) VMEM blocks exceed the 16 MB scoped-vmem limit
+    at T=16 — 34.18 MB measured, Mosaic compile failure found by
+    benchmarks/qa_latency.py), lane-legal dims, serving-only, no sp."""
+    from alpro_tpu.models.timesformer import _temporal_auto_impl
+
+    # flagship retrieval/pretrain: fused
+    assert _temporal_auto_impl(8, 768, 12, True, None, True) == "fused_qkv_fold"
+    assert _temporal_auto_impl(4, 768, 12, True, None, True) == "fused_qkv_fold"
+    # QA flagship T=16: must fall back (scoped-vmem)
+    assert _temporal_auto_impl(16, 768, 12, True, None, True) == "xla"
+    # training / sp-sharded / odd dims / off-TPU: XLA
+    assert _temporal_auto_impl(8, 768, 12, False, None, True) == "xla"
+    assert _temporal_auto_impl(8, 768, 12, True, "sp", True) == "xla"
+    assert _temporal_auto_impl(8, 768, 16, True, None, True) == "xla"  # hd=48
+    assert _temporal_auto_impl(8, 768, 12, True, None, False) == "xla"
