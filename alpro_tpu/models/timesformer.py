@@ -264,10 +264,11 @@ def _temporal_auto_impl(T, D, num_heads, deterministic, sp_axis,
     matmul is the serving winner (68.7 → 66.8 ms/batch over plain
     fused_qkv). Constraints that force the XLA relayout+einsum path:
 
-    * T > 8 — the kernel's VMEM blocks are (1, T, N, lane), linear in T:
-      T=8 (retrieval/pretrain flagship) fits the 16 MB scoped-vmem limit,
-      T=16 (the QA config) measured 34.18 MB and fails Mosaic compilation
-      (found by benchmarks/qa_latency.py, round 4);
+    * T > 8 — on merit: the kernel is legal at any T (the patch axis is
+      N-blocked to stay inside the scoped-vmem envelope —
+      `pallas_qkv_attn._temporal_n_block`), but its δ-band VPU work scales
+      with T², so at the QA config's T=16 it measured 8.39 ms vs XLA's
+      7.27 ms standalone (B=16, round 4 — docs/PERF.md);
     * training (`not deterministic`) — no attention-dropout path, and the
       custom_vjp residuals OOM at flagship batch (docs/PERF.md);
     * lane-illegal dims (D % 128, head_dim not a 128 divisor);

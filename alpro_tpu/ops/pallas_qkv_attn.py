@@ -411,6 +411,29 @@ _TEMPORAL_LANE = 128
 _TEMPORAL_FLASH = False
 _TEMPORAL_SEG = False
 
+# T·N per VMEM block above which the grid splits the patch axis. The kernel
+# is elementwise over N (attention runs over T independently at each patch
+# location), so N-blocking is exact. T=8·N=196 (the retrieval/pretrain
+# flagship) compiles and is the measured-good envelope; T=16·N=196 needs a
+# 34.18 MB scoped-vmem stack against the 16 MB limit (Mosaic compile
+# failure, round 4 — the fp32 δ-band intermediates scale with T·N and the
+# band list with T²·N). 784 = half the proven envelope leaves margin for
+# the T²·N term.
+_TEMPORAL_TN_BLOCK = 784
+
+
+def _temporal_n_block(T: int, N: int) -> int:
+    """N-block size inside the VMEM envelope; N itself for T ≤ 8 (the
+    measured flagship block shape, kept bit-identical). Mosaic requires the
+    sublane block dim be a multiple of 8 or equal to the array dim, so the
+    split uses the largest multiple of 8 with T·nb ≤ envelope and a cdiv
+    grid — the ragged tail block is masked by Pallas, which is exact here
+    because the kernel is elementwise over N."""
+    if T <= 8 or T * N <= _TEMPORAL_TN_BLOCK:
+        return N
+    nb = (_TEMPORAL_TN_BLOCK // T) // 8 * 8
+    return min(N, max(nb, 8))
+
 
 def _temporal_kernel_seg(q_ref, k_ref, v_ref, seg_ref, o_ref, *,
                          scale: float, hd: int, heads_per_block: int, T: int):
@@ -512,23 +535,26 @@ def _temporal_fwd_impl(qkv, num_heads, scale):
             interpret=False,
         )(qkv, qkv, qkv)
 
+    nb = _temporal_n_block(T, N)
     out = pl.pallas_call(
         functools.partial(
             _temporal_kernel, scale=float(scale), hd=hd,
             heads_per_block=hpb, T=T,
         ),
         out_shape=jax.ShapeDtypeStruct((B, T, N, D), qkv.dtype),
-        grid=(B, nq),
+        grid=(B, pl.cdiv(N, nb), nq),
         in_specs=[
-            pl.BlockSpec((1, T, N, lane), lambda b, h: (b, 0, 0, h),
+            pl.BlockSpec((1, T, nb, lane), lambda b, n, h: (b, 0, n, h),
                          memory_space=_VMEM),
-            pl.BlockSpec((1, T, N, lane), lambda b, h, nq=nq: (b, 0, 0, nq + h),
+            pl.BlockSpec((1, T, nb, lane),
+                         lambda b, n, h, nq=nq: (b, 0, n, nq + h),
                          memory_space=_VMEM),
-            pl.BlockSpec((1, T, N, lane), lambda b, h, nq=nq: (b, 0, 0, 2 * nq + h),
+            pl.BlockSpec((1, T, nb, lane),
+                         lambda b, n, h, nq=nq: (b, 0, n, 2 * nq + h),
                          memory_space=_VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, T, N, lane), lambda b, h: (b, 0, 0, h), memory_space=_VMEM
+            (1, T, nb, lane), lambda b, n, h: (b, 0, n, h), memory_space=_VMEM
         ),
         interpret=interpret,
     )(qkv, qkv, qkv)

@@ -30,6 +30,45 @@ def test_temporal_qkv_matches_reference():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_temporal_n_block_choice():
+    """Grid N-splitting: flagship T ≤ 8 keeps the full-N block (the measured
+    shape); above the VMEM envelope the largest in-envelope divisor wins."""
+    from alpro_tpu.ops.pallas_qkv_attn import _temporal_n_block
+
+    assert _temporal_n_block(8, 196) == 196     # proven flagship block
+    assert _temporal_n_block(4, 196) == 196
+    # Mosaic sublane rule: block dim ≡ 0 (mod 8) or equal to the array dim,
+    # so splits are multiples of 8 on a cdiv grid (ragged tail masked)
+    assert _temporal_n_block(16, 196) == 48     # 16·48 = 768 ≤ 784 envelope
+    assert _temporal_n_block(16, 98) == 48
+    assert _temporal_n_block(32, 196) == 24     # 32·24 = 768 ≤ 784
+    assert _temporal_n_block(16, 13) == 13      # 16·13 = 208 ≤ envelope
+
+
+def test_temporal_qkv_n_blocked_matches_reference():
+    """T above the VMEM envelope splits N across grid steps (attention is
+    per-patch over T, so the split is exact): T=16, N=98 → three 48-patch
+    blocks with a masked ragged tail (98 = 2·48 + 2). Parity + grads vs the
+    XLA reference through the split."""
+    from alpro_tpu.ops.pallas_qkv_attn import _temporal_n_block
+
+    B, T, N, H, hd = 2, 16, 98, 3, 8
+    assert _temporal_n_block(T, N) == 48  # cdiv(98, 48) = 3, tail masked
+    rng = np.random.RandomState(7)
+    qkv = jnp.asarray(rng.randn(B, T, N, 3 * H * hd).astype(np.float32))
+    got = fused_temporal_attention_qkv(qkv, H)
+    want = _temporal_xla_reference(qkv, H, hd ** -0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    g1 = jax.grad(
+        lambda x: jnp.sum(fused_temporal_attention_qkv(x, H) ** 2)
+    )(qkv)
+    g2 = jax.grad(
+        lambda x: jnp.sum(_temporal_xla_reference(x, H, hd ** -0.5) ** 2)
+    )(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
 def test_spatial_qkv_gradients():
     rng = np.random.RandomState(2)
     B, S, H, hd = 2, 11, 2, 8
