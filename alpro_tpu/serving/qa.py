@@ -5,21 +5,31 @@ The deploy-time shape of `AlproForSequenceClassification` inference
 clip(s), run question + fusion + classifier, pool per-clip logits with the
 reference's multi-clip ensembling (`:251-279`, mean/max/lse), and map label
 ids back to answer strings.
+
+Beyond the reference: `encode_video` caches the video-tower output so many
+questions about one video pay only text+fusion+head per question (the
+reference re-runs the full tower per (question, video) pair). MSRVTT-QA
+averages ~2.4 questions per clip and an interactive session asks many more,
+so the tower — the large majority of per-question device time — amortizes
+away.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple, Union
 
 import numpy as np
-
-from alpro_tpu.evals.qa import pool_clip_logits
 
 
 class VideoQAPredictor:
     """>>> qa = VideoQAPredictor(model, params, tokenizer, ans2label)
     >>> qa.predict(clips_uint8, "what is the man doing", topk=3)
-    [("cooking", 0.71), ("eating", 0.12), ("running", 0.05)]"""
+    [("cooking", 0.71), ("eating", 0.12), ("running", 0.05)]
+
+    Many questions on one video — encode once, ask cheaply:
+    >>> feats = qa.encode_video(clips_uint8)
+    >>> qa.predict(feats, "who is on the stage")
+    """
 
     def __init__(self, model, params, tokenizer, ans2label: Dict[str, int],
                  max_txt_len: int = 25, pool: str = "mean",
@@ -28,7 +38,10 @@ class VideoQAPredictor:
         dequantized inside jit — see serving/retrieval.py + ops/quant.py)."""
         import jax
 
-        from alpro_tpu.train.step import make_qa_inference_fn
+        from alpro_tpu.train.step import (
+            make_qa_inference_fn,
+            make_qa_video_encode_fn,
+        )
 
         self.model = model
         self.tokenizer = tokenizer
@@ -38,39 +51,61 @@ class VideoQAPredictor:
         if weights not in ("bf16", "int8"):
             raise ValueError(f"weights must be 'bf16' or 'int8', got {weights!r}")
         infer = make_qa_inference_fn(model)
+        encode = make_qa_video_encode_fn(model)
         if weights == "int8":
             from alpro_tpu.ops.quant import quantize_tree, wrap_dequant
 
             params = quantize_tree(params)
             infer = wrap_dequant(infer)
+            encode = wrap_dequant(encode)
         self.params = params
         self._infer = jax.jit(infer)
+        self._encode = jax.jit(encode)
+
+    def encode_video(self, clips: np.ndarray):
+        """(n_clips, T, H, W, 3) uint8 → device-resident (n_clips, 1+N, D)
+        video tokens. Pass the result to `predict` in place of `clips` to
+        skip the video tower on every subsequent question."""
+        import jax.numpy as jnp
+
+        assert clips.ndim == 5, "clips must be (n_clips, T, H, W, 3)"
+        return self._encode(self.params, jnp.asarray(clips))
 
     def predict(
         self,
-        clips: np.ndarray,
+        clips: Union[np.ndarray, "object"],
         question: str,
         topk: int = 5,
         pool: Optional[str] = None,
     ) -> List[Tuple[str, float]]:
         """clips: (n_clips, T, H, W, 3) uint8 — multiple sampled clips of the
-        same video are ensembled (reference multi-clip eval); returns the
-        top-k (answer, probability) pairs."""
+        same video are ensembled (reference multi-clip eval) — or the
+        (n_clips, 1+N, D) output of `encode_video` (cached fast path);
+        returns the top-k (answer, probability) pairs."""
         import jax
         import jax.numpy as jnp
 
-        assert clips.ndim == 5, "clips must be (n_clips, T, H, W, 3)"
+        from alpro_tpu.evals.qa import pool_clip_logits
+
+        assert clips.ndim in (3, 5), (
+            "clips must be (n_clips, T, H, W, 3) pixels or the "
+            "(n_clips, 1+N, D) output of encode_video"
+        )
         n = clips.shape[0]
         enc = self.tokenizer([question] * n, max_length=self.max_txt_len)
-        logits = self._infer(self.params, {
-            "visual_inputs": jnp.asarray(clips),
+        batch = {
             "text_input_ids": jnp.asarray(
                 np.asarray(enc["input_ids"], dtype=np.int32)
             ),
             "text_input_mask": jnp.asarray(
                 np.asarray(enc["attention_mask"], dtype=np.int32)
             ),
-        })
+        }
+        if clips.ndim == 3:
+            batch["video_embeds"] = clips
+        else:
+            batch["visual_inputs"] = jnp.asarray(clips)
+        logits = self._infer(self.params, batch)
         # (n_clips, L) → (n_clips, B=1, L) for the reference pooling
         pooled = pool_clip_logits(
             np.asarray(logits)[:, None, :], method=pool or self.pool

@@ -365,9 +365,18 @@ def _qa_logits(model, params, batch, rng, train: bool, n_options: int = 1):
     (ClipBERT lineage) implemented jit-natively."""
     det = not train
     rngs = _train_rngs(jax.random.fold_in(rng, 0)) if train else None
-    video_embeds = model.apply(
-        params, _prep_pixels(batch["visual_inputs"]), det, method=model.embed_video, rngs=rngs
-    )
+    if "video_embeds" in batch:
+        # serving fast path: the video tower ran once per video (e.g.
+        # `serving.qa.VideoQAPredictor.encode_video`) and its (n, 1+N, D)
+        # output is reused across every question about that video — the
+        # reference re-runs the tower per (question, video) pair
+        # (`run_video_qa.py:567-640`)
+        video_embeds = batch["video_embeds"]
+    else:
+        video_embeds = model.apply(
+            params, _prep_pixels(batch["visual_inputs"]), det,
+            method=model.embed_video, rngs=rngs,
+        )
     rngs = _train_rngs(jax.random.fold_in(rng, 1)) if train else None
     text_embeds = model.apply(
         params, batch["text_input_ids"], batch["text_input_mask"], det,
@@ -395,6 +404,20 @@ def make_qa_inference_fn(model: AlproModel, n_options: int = 1) -> Callable:
                           train=False, n_options=n_options)
 
     return infer
+
+
+def make_qa_video_encode_fn(model: AlproModel) -> Callable:
+    """(params, (n, T, H, W, 3) pixels) → (n, 1+N, D) video tokens — the
+    tower half of `_qa_logits`, split out so QA serving can encode a video
+    once and answer many questions against the cached embeddings."""
+
+    def encode(params, visual_inputs):
+        return model.apply(
+            params, _prep_pixels(visual_inputs), True,
+            method=model.embed_video,
+        )
+
+    return encode
 
 
 # --------------------------------------------------------------------------

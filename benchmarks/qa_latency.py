@@ -67,17 +67,61 @@ def measure_qa_latency(n_clips=1, queries=30, num_frm=16, img_size=224,
     qa.predict(clips, "what is the man doing")  # predict() reads back probs
     compile_s = time.perf_counter() - t0
 
-    lat = []
     questions = ["what is the man doing", "who is on the stage",
                  "how many dogs are running", "where is the red car"]
+
+    lat = []
     for i in range(queries):
         t0 = time.perf_counter()
         qa.predict(clips, questions[i % len(questions)])
         lat.append((time.perf_counter() - t0) * 1e3)
     lat.sort()
+
+    # cached-video fast path: encode once, every question pays text+fusion+
+    # head only (beyond-reference — the reference re-runs the tower per pair)
+    feats = qa.encode_video(clips)
+    qa.predict(feats, questions[0])  # compile the cached graph
+    enc = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        f = qa.encode_video(clips)
+        f.block_until_ready()
+        float(jnp.sum(f[..., 0]))  # tunnel-safe timing close (scalar readback)
+        enc.append((time.perf_counter() - t0) * 1e3)
+    cached = []
+    for i in range(queries):
+        t0 = time.perf_counter()
+        qa.predict(feats, questions[i % len(questions)])
+        cached.append((time.perf_counter() - t0) * 1e3)
+    cached.sort()
+
+    # H2D share of the per-question cost: device_put of one clip batch,
+    # closed by a scalar readback
+    h2d = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        dev = jax.device_put(clips)
+        float(jnp.sum(dev[..., 0, 0, 0].astype(jnp.int32)))
+        h2d.append((time.perf_counter() - t0) * 1e3)
+
+    # host↔device dispatch floor: one jitted scalar op + scalar readback —
+    # the per-call latency no serving path can go below on this transport
+    tiny = jax.jit(lambda s: s + 1.0)
+    float(tiny(jnp.float32(0.0)))
+    floor = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        float(tiny(jnp.float32(0.0)))
+        floor.append((time.perf_counter() - t0) * 1e3)
+
     return {
         "p50_ms": lat[len(lat) // 2],
         "p90_ms": lat[int(len(lat) * 0.9)],
+        "cached_p50_ms": cached[len(cached) // 2],
+        "cached_p90_ms": cached[int(len(cached) * 0.9)],
+        "encode_ms": sorted(enc)[len(enc) // 2],
+        "h2d_ms": sorted(h2d)[len(h2d) // 2],
+        "dispatch_floor_ms": sorted(floor)[len(floor) // 2],
         "compile_s": compile_s,
     }
 
@@ -95,6 +139,11 @@ def main():
                   f"{args.n_clips} clip(s), 1500 labels)",
         "p50_ms": round(r["p50_ms"], 1),
         "p90_ms": round(r["p90_ms"], 1),
+        "cached_p50_ms": round(r["cached_p50_ms"], 1),
+        "cached_p90_ms": round(r["cached_p90_ms"], 1),
+        "encode_ms": round(r["encode_ms"], 1),
+        "h2d_ms": round(r["h2d_ms"], 1),
+        "dispatch_floor_ms": round(r["dispatch_floor_ms"], 1),
         "unit": "ms",
         "compile_s": round(r["compile_s"], 1),
     }), flush=True)

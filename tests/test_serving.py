@@ -123,6 +123,38 @@ def test_qa_predictor_multiclip():
     assert res[0][0] == qa.label2ans[want]
 
 
+def test_qa_predictor_cached_video_path():
+    """encode_video + predict(feats) ≡ predict(clips): the cached fast path
+    must be bit-identical to the full forward (same jitted tower, reused)."""
+    from alpro_tpu.models import build_qa_model
+    from alpro_tpu.serving.qa import VideoQAPredictor
+
+    vis = TimeSformerConfig(
+        img_size=32, patch_size=16, num_frames=2, embed_dim=16, depth=2,
+        num_heads=2, drop_path_rate=0.0,
+    )
+    bert = BertConfig(
+        vocab_size=100, hidden_size=16, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=32, fusion_layer=1,
+    )
+    model = build_qa_model(bert, vis, num_labels=5, img_size=32, num_frm=2)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 2, 32, 32, 3), jnp.float32),
+        jnp.zeros((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32),
+    )
+    ans2label = {"cooking": 0, "running": 1, "eating": 2, "red": 3, "dog": 4}
+    qa = VideoQAPredictor(
+        model, params, WordPieceTokenizer(make_test_vocab()), ans2label,
+        max_txt_len=8,
+    )
+    clips = np.random.RandomState(7).randint(0, 255, (2, 2, 32, 32, 3), np.uint8)
+    feats = qa.encode_video(clips)
+    assert feats.ndim == 3 and feats.shape[0] == 2
+    for q in ("what is the man doing", "who is on the stage"):
+        assert qa.predict(feats, q) == qa.predict(clips, q)
+
+
 def test_sharded_index_matches_single_device(small_index):
     """ShardedRetrievalIndex over the 8-device mesh == RetrievalIndex:
     same ids, same ranking, same probs/sims — with a gallery size (6) that
