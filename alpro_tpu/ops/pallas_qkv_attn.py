@@ -490,25 +490,31 @@ def _temporal_fwd_impl(qkv, num_heads, scale):
         seg = (
             (jnp.arange(T * hd)[:, None] // hd) == jnp.arange(segc)[None, :]
         ).astype(qkv.dtype)
+        # the (T, nb, T·hd) fp32 prods stack is the VMEM driver here — block
+        # N the same way the δ-band branch does (exact: elementwise over N)
+        nbs = _temporal_n_block(T, N)
         return pl.pallas_call(
             functools.partial(
                 _temporal_kernel_seg, scale=float(scale), hd=hd,
                 heads_per_block=hpb, T=T,
             ),
             out_shape=jax.ShapeDtypeStruct((B, T, N, D), qkv.dtype),
-            grid=(B, nq),
+            grid=(B, pl.cdiv(N, nbs), nq),
             in_specs=[
-                pl.BlockSpec((1, T, N, lane), lambda b, h: (b, 0, 0, h),
+                pl.BlockSpec((1, T, nbs, lane), lambda b, n, h: (b, 0, n, h),
                              memory_space=_VMEM),
-                pl.BlockSpec((1, T, N, lane), lambda b, h, nq=nq: (b, 0, 0, nq + h),
+                pl.BlockSpec((1, T, nbs, lane),
+                             lambda b, n, h, nq=nq: (b, 0, n, nq + h),
                              memory_space=_VMEM),
-                pl.BlockSpec((1, T, N, lane), lambda b, h, nq=nq: (b, 0, 0, 2 * nq + h),
+                pl.BlockSpec((1, T, nbs, lane),
+                             lambda b, n, h, nq=nq: (b, 0, n, 2 * nq + h),
                              memory_space=_VMEM),
-                pl.BlockSpec((T * hd, segc), lambda b, h: (0, 0),
+                pl.BlockSpec((T * hd, segc), lambda b, n, h: (0, 0),
                              memory_space=_VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, T, N, lane), lambda b, h: (b, 0, 0, h), memory_space=_VMEM
+                (1, T, nbs, lane), lambda b, n, h: (b, 0, n, h),
+                memory_space=_VMEM,
             ),
             interpret=False,
         )(qkv, qkv, qkv, seg)
