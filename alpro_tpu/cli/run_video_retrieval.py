@@ -74,6 +74,7 @@ def _jit_eval_fns(model):
     cached = _INFER_CACHE.get(key)
     if cached is None or cached[0] is not model:
         from alpro_tpu.train.step import (
+            make_fusion_rerank_bank_fn,
             make_fusion_score_pairs_fn,
             make_text_encode_fn,
             make_video_embed_fn,
@@ -85,6 +86,7 @@ def _jit_eval_fns(model):
                 jax.jit(make_text_encode_fn(model)),
                 jax.jit(make_video_embed_fn(model)),
                 jax.jit(make_fusion_score_pairs_fn(model)),
+                jax.jit(make_fusion_rerank_bank_fn(model)),
             ),
         )
     return _INFER_CACHE[key][1]
@@ -99,8 +101,13 @@ def inference_retrieval(model, params, eval_ds, tokenizer, cfg: Config) -> List[
     reference re-encodes every text for every video); each video's tower runs
     once, and only the fusion half runs per (video, text-chunk) pair.
     """
-    encode_text, embed_video, fusion_score = _jit_eval_fns(model)
+    encode_text, embed_video, fusion_score, _ = _jit_eval_fns(model)
     eval_bsz = int(cfg.get("inference_batch_size", 64))
+    rerank_topk = int(cfg.get("eval_rerank_topk", 0))
+    if rerank_topk > 0 and not cfg.get("eval_vtc_only", False):
+        return _inference_retrieval_topk(
+            model, params, eval_ds, tokenizer, cfg, rerank_topk
+        )
 
     texts = eval_ds.texts
     enc = tokenizer([t["caption"] for t in texts], max_length=cfg.max_txt_len)
@@ -187,6 +194,125 @@ def inference_retrieval(model, params, eval_ds, tokenizer, cfg: Config) -> List[
     return results
 
 
+def _inference_retrieval_topk(model, params, eval_ds, tokenizer, cfg, K):
+    """`--eval_rerank_topk K`: the serving-index candidate protocol applied
+    to the eval gate. Towers run exactly as in the full protocol, but the
+    VTM fusion reranks only each text's K best VTC candidates (vs all V —
+    the dominant release-gate cost, docs/PERF.md round 4: 198.3 of 222.6 s
+    at 1k×1k). Non-candidates keep a VTC-ordered score strictly below every
+    reranked score (0.5 + atan(sim)/π ∈ (0, 1); reranked = 1 + P(match) ∈
+    (1, 2)) — data-independent, so scores stay comparable across host
+    shards. Ranking is identical to the full protocol whenever the
+    protocol's own top ranks lie inside the VTC top-K (K ≥ V: provably
+    identical; tested in tests/test_retrieval_inference.py). Under
+    multihost video striping each host reranks its *local* top-K per text —
+    a superset of that shard's members of the global top-K (the
+    ShardedRetrievalIndex two-stage argument)."""
+    encode_text, embed_video, _, rerank_bank = _jit_eval_fns(model)
+    eval_bsz = int(cfg.get("inference_batch_size", 64))
+    pair_bsz = int(cfg.get("eval_pair_batch_size", 512))
+
+    texts = eval_ds.texts
+    enc = tokenizer([t["caption"] for t in texts], max_length=cfg.max_txt_len)
+    all_ids = np.asarray(enc["input_ids"], np.int32)
+    all_mask = np.asarray(enc["attention_mask"], np.int32)
+    n_text = len(texts)
+    pad = (-n_text) % eval_bsz
+    ids_p = np.concatenate([all_ids, np.zeros((pad, all_ids.shape[1]), np.int32)])
+    mask_p = np.concatenate([all_mask, np.zeros((pad, all_mask.shape[1]), np.int32)])
+
+    text_embeds_chunks, text_feat_chunks = [], []
+    for start in range(0, ids_p.shape[0], eval_bsz):
+        te, tf = encode_text(params, {
+            "text_input_ids": ids_p[start : start + eval_bsz],
+            "text_input_mask": mask_p[start : start + eval_bsz],
+        })
+        text_embeds_chunks.append(te)
+        text_feat_chunks.append(tf)
+    text_feat_all = np.concatenate(
+        [np.asarray(t) for t in text_feat_chunks]
+    )[:n_text]
+
+    temp = float(np.clip(np.asarray(params["params"]["temp"]), 0.001, 0.5))
+    vid_bsz = int(cfg.get("eval_video_batch_size", 8))
+    n_videos = len(eval_ds) if not cfg.get("debug") else min(5, len(eval_ds))
+    try:
+        proc, nproc = jax.process_index(), jax.process_count()
+    except RuntimeError:
+        proc, nproc = 0, 1
+    my_videos = list(range(proc, n_videos, nproc))
+
+    st = time.time()
+    # 1) video towers once; token embeds stay device-resident as the bank
+    embed_blocks, vfeat_rows, vid_ids = [], [], []
+    for vstart in range(0, len(my_videos), vid_bsz):
+        vend = min(vstart + vid_bsz, len(my_videos))
+        videos = [eval_ds.get_video(my_videos[vi]) for vi in range(vstart, vend)]
+        clips = np.stack([v["clip"] for v in videos])
+        if clips.shape[0] < vid_bsz:
+            clips = np.concatenate(
+                [clips, np.repeat(clips[-1:], vid_bsz - clips.shape[0], 0)]
+            )
+        video_embeds, vfeat = embed_video(params, clips)
+        embed_blocks.append(video_embeds[: len(videos)])
+        vfeat_rows.append(np.asarray(vfeat)[: len(videos)])
+        vid_ids.extend(v["vid_id"] for v in videos)
+    import jax.numpy as jnp
+
+    bank = jnp.concatenate(embed_blocks, axis=0)  # (V_local, 1+N, D), device
+    n_local = len(vid_ids)
+    sims = np.concatenate(vfeat_rows) @ text_feat_all.T / temp  # (V_local, n_text)
+    k = min(K, n_local)
+
+    # 2) per text: VTC top-k local candidates → batched pair rerank.
+    # cand_idx[j] = the k local video rows text j reranks
+    cand_idx = np.argpartition(-sims, k - 1, axis=0)[:k].T  # (n_text, k)
+    probs = np.zeros((n_text, k), np.float32)
+    for ci, start in enumerate(range(0, ids_p.shape[0], eval_bsz)):
+        end = min(start + eval_bsz, n_text)
+        if end <= start:
+            break
+        ntc = end - start
+        tidx = np.repeat(np.arange(ntc, dtype=np.int32), k)
+        vidx = cand_idx[start:end].reshape(-1).astype(np.int32)
+        npairs = tidx.shape[0]
+        ppad = (-npairs) % pair_bsz
+        tidx = np.concatenate([tidx, np.zeros(ppad, np.int32)])
+        vidx = np.concatenate([vidx, np.zeros(ppad, np.int32)])
+        chunk_probs = np.empty(npairs + ppad, np.float32)
+        for ps in range(0, npairs + ppad, pair_bsz):
+            logits = rerank_bank(
+                params, text_embeds_chunks[ci], mask_p[start : start + eval_bsz],
+                bank, tidx[ps : ps + pair_bsz], vidx[ps : ps + pair_bsz],
+            )
+            chunk_probs[ps : ps + pair_bsz] = np.asarray(
+                jax.nn.softmax(logits, axis=-1)
+            )[:, 1]
+        probs[start:end] = chunk_probs[:npairs].reshape(ntc, k)
+        if (end % (eval_bsz * 4)) < eval_bsz:
+            LOGGER.info("reranked %d/%d texts (%.1fs)", end, n_text,
+                        time.time() - st)
+
+    # 3) combined scores: candidates 1+P(match), the rest VTC-ordered < 1
+    scores = 0.5 + np.arctan(sims) / np.pi
+    scores[cand_idx.T, np.arange(n_text)[None, :]] = 1.0 + probs.T
+
+    results = []
+    for bi in range(n_local):
+        for j in range(n_text):
+            results.append(dict(
+                vid_id=vid_ids[bi],
+                txt_id=texts[j]["txt_id"],
+                score=float(scores[bi, j]),
+                sim=float(sims[bi, j]),
+            ))
+    if nproc > 1:
+        from alpro_tpu.parallel.host_sync import all_gather_list
+
+        results = [r for shard in all_gather_list(results) for r in shard]
+    return results
+
+
 def validate(model, state, eval_ds, tokenizer, cfg, step):
     params = jax.device_get(state.params)
     results = inference_retrieval(model, params, eval_ds, tokenizer, cfg)
@@ -243,12 +369,16 @@ def start_training(cfg: Config):
 def start_inference(cfg: Config):
     common.setup_environment(cfg)
     # reference behaviour: stored train args override all but *inference* keys
+    # (`run_video_retrieval.py:766-770`). The eval-protocol knobs are
+    # inference-tunable too — a stored train-time value must not clobber the
+    # depth/protocol chosen for this eval run.
     stored = os.path.join(cfg.output_dir or "", "log", "args.json")
     if os.path.exists(stored):
         with open(stored) as f:
             train_args = json.load(f)
+        keep = ("output_dir", "eval_rerank_topk", "eval_vtc_only")
         for k, v in train_args.items():
-            if "inference" not in k and k != "output_dir":
+            if "inference" not in k and k not in keep:
                 cfg[k] = Config._wrap(v)
     tokenizer = build_tokenizer(cfg.tokenizer_dir)
     model = common.build_model_from_cfg(cfg, "retrieval")

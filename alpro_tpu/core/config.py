@@ -201,6 +201,14 @@ def get_video_retrieval_args(argv=None) -> Config:
     parser.add_argument("--train_datasets", type=json.loads, default=None)
     parser.add_argument("--val_datasets", type=json.loads, default=None)
     parser.add_argument("--eval_retrieval_batch_size", type=int, default=256)
+    parser.add_argument(
+        "--eval_rerank_topk", type=int, default=0,
+        help="0 (default): the exact reference protocol — VTM-score every "
+             "(video, text) pair. K>0: VTM-rerank only each text's K best "
+             "VTC candidates (the serving-index candidate protocol applied "
+             "to the eval gate; non-candidates rank below by VTC sim). "
+             "~V/K cheaper; exact whenever the protocol's own top ranks "
+             "fall inside the VTC top-K")
     return parse_with_config(parser, argv)
 
 

@@ -264,6 +264,26 @@ def make_fusion_score_pairs_fn(model: AlproModel) -> Callable:
     return score
 
 
+def make_fusion_rerank_bank_fn(model: AlproModel) -> Callable:
+    """VTM logits for an arbitrary pair list against a device-resident video
+    token bank: (C, L, D) text-chunk embeds + (V, 1+N, D) bank + per-pair
+    int32 index vectors tidx/vidx (P,) → (P, 2) logits. Both gathers run on
+    device, so each dispatch ships only the two tiny index vectors — the
+    top-k eval rerank (`cli/run_video_retrieval.py --eval_rerank_topk`)
+    scores each text's VTC candidates instead of the full V×C cross
+    product (the serving `RetrievalIndex.query` candidate protocol applied
+    to the batch eval gate)."""
+
+    def score(params, text_embeds, text_mask, bank, tidx, vidx):
+        te = jnp.take(text_embeds, tidx, axis=0)
+        tm = jnp.take(text_mask, tidx, axis=0)
+        ve = jnp.take(bank, vidx, axis=0)
+        fusion = model.apply(params, te, tm, ve, method=model.fuse)
+        return model.apply(params, fusion[:, 0, :], method=model.itm_logits)
+
+    return score
+
+
 def make_retrieval_inference_fn(model: AlproModel) -> Callable:
     """1 video vs N texts (`alpro_models.py:874-914`): returns VTC sims
     (1, N) and per-pair VTM logits (N, 2)."""

@@ -120,6 +120,42 @@ def main():
         out["text_tower_s"] + out["video_tower_s"] + dt, 2
     )
 
+    # ---- rerank, --eval_rerank_topk 16 (serving-index candidate protocol:
+    # each text reranks only its VTC top-16; device-resident token bank,
+    # indices-only dispatches of 512 pairs) ----
+    from alpro_tpu.train.step import make_fusion_rerank_bank_fn
+
+    rerank_bank = jax.jit(make_fusion_rerank_bank_fn(model))
+    K, PAIR_BSZ = 16, 512
+    t0 = time.perf_counter()
+    bank = jnp.concatenate(vembeds, axis=0)  # (1000, 1+N, D) device-resident
+    cand = rng.randint(0, N_VIDEOS, (N_TEXTS, K)).astype(np.int32)
+    acc = None
+    n_disp_k = 0
+    for ci, s0 in enumerate(range(0, N_TEXTS, EVAL_BSZ)):
+        te, tm = text_chunks[ci]
+        ntc = min(EVAL_BSZ, N_TEXTS - s0)
+        tidx = np.repeat(np.arange(ntc, dtype=np.int32), K)
+        vidx = cand[s0 : s0 + ntc].reshape(-1)
+        ppad = (-tidx.shape[0]) % PAIR_BSZ
+        tidx = np.concatenate([tidx, np.zeros(ppad, np.int32)])
+        vidx = np.concatenate([vidx, np.zeros(ppad, np.int32)])
+        for ps in range(0, tidx.shape[0], PAIR_BSZ):
+            logits = rerank_bank(
+                params, te, tm, bank,
+                tidx[ps : ps + PAIR_BSZ], vidx[ps : ps + PAIR_BSZ],
+            )
+            r = logits.astype(jnp.float32).sum()
+            acc = r if acc is None else acc + r
+            n_disp_k += 1
+    _ = float(acc)
+    dtk = time.perf_counter() - t0
+    out["rerank_topk16_s"] = round(dtk, 2)
+    out["rerank_topk16_dispatches"] = n_disp_k
+    out["full_eval_topk16_s"] = round(
+        out["text_tower_s"] + out["video_tower_s"] + dtk, 2
+    )
+
     # ---- rerank, per-(video, chunk) loop (round-3 style) on a subset ----
     t0 = time.perf_counter()
     acc = None
