@@ -23,6 +23,7 @@ Weight-layout notes (torch → flax):
 
 from __future__ import annotations
 
+import types
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -313,8 +314,13 @@ def convert_reference_state_dict(
     visual tower loaded non-strict, temporal params left at init
     (`run_pretrain_contrastive_only.py:155-161` `strict=not cfg.albef_init`).
     """
-    # NOTE: `sd` is only read, never mutated — no defensive copy, so callers
-    # (e.g. the key-manifest gate) can pass instrumented mappings.
+    # `sd` is read-only by contract — no defensive copy, so callers (e.g.
+    # the key-manifest gate) can pass instrumented mappings. The proxy wrap
+    # enforces it: any future in-place key normalization raises TypeError
+    # instead of silently corrupting the caller's view. (mappingproxy
+    # delegates lookups to the wrapped mapping, so instrumented overrides
+    # like TrackingDict.__getitem__ still fire.)
+    sd = types.MappingProxyType(sd)
     text_prefix = "text_encoder.bert."
     if not any(k.startswith(text_prefix) for k in sd):
         text_prefix = "text_encoder."

@@ -86,7 +86,13 @@ def setup_environment(cfg: Config):
         os.makedirs(cfg.output_dir, exist_ok=True)
         add_log_to_file(os.path.join(cfg.output_dir, "log", "log.txt"))
         TB_LOGGER.create(os.path.join(cfg.output_dir, "log"))
-        save_training_meta(cfg.output_dir, cfg)
+        if not cfg.get("do_inference"):
+            # training runs only: inference points output_dir at the train
+            # run whose stored log/args.json drives the cfg re-merge
+            # (`run_video_retrieval.py:766-770` keeps it read-only) —
+            # re-snapshotting here would clobber the merge source with the
+            # inference invocation's sparse flags
+            save_training_meta(cfg.output_dir, cfg)
 
 
 def compute_dtype(cfg: Config):

@@ -207,7 +207,18 @@ def _inference_retrieval_topk(model, params, eval_ds, tokenizer, cfg, K):
     identical; tested in tests/test_retrieval_inference.py). Under
     multihost video striping each host reranks its *local* top-K per text —
     a superset of that shard's members of the global top-K (the
-    ShardedRetrievalIndex two-stage argument)."""
+    ShardedRetrievalIndex two-stage argument).
+
+    Direction semantics of the combined score: the (1, 2) / (0, 1) band
+    construction above is exact for text→video (each text's column ranks
+    its own candidates first, VTC order below). evals/retrieval.py also
+    ranks the transposed matrix for video→text, where a video's row mixes
+    the two bands: texts that shortlisted this video rank by VTM prob,
+    all other texts fall below by construction — a coarser approximation
+    than t2v since a video's *own* VTC top texts need not have shortlisted
+    it. K=0 (default) and K ≥ V remain exact in both directions; with
+    0 < K < V treat video2text metrics as approximate (documented in
+    docs/PARITY.md)."""
     encode_text, embed_video, _, rerank_bank = _jit_eval_fns(model)
     eval_bsz = int(cfg.get("inference_batch_size", 64))
     pair_bsz = int(cfg.get("eval_pair_batch_size", 512))
@@ -257,10 +268,20 @@ def _inference_retrieval_topk(model, params, eval_ds, tokenizer, cfg, K):
         embed_blocks.append(video_embeds[: len(videos)])
         vfeat_rows.append(np.asarray(vfeat)[: len(videos)])
         vid_ids.extend(v["vid_id"] for v in videos)
+    n_local = len(vid_ids)
+    if n_local == 0:
+        # empty local video shard (multihost striping with process_count >
+        # n_videos, or debug's 5-video cap): nothing to rerank, but this
+        # host must still join the collective gather so peers don't hang
+        results = []
+        if nproc > 1:
+            from alpro_tpu.parallel.host_sync import all_gather_list
+
+            results = [r for shard in all_gather_list(results) for r in shard]
+        return results
     import jax.numpy as jnp
 
     bank = jnp.concatenate(embed_blocks, axis=0)  # (V_local, 1+N, D), device
-    n_local = len(vid_ids)
     sims = np.concatenate(vfeat_rows) @ text_feat_all.T / temp  # (V_local, n_text)
     k = min(K, n_local)
 
@@ -392,7 +413,15 @@ def start_inference(cfg: Config):
         fps=cfg.get("fps", -1),
     )
     results = inference_retrieval(model, params, eval_ds, tokenizer, cfg)
-    metrics = eval_retrieval(results, eval_ds.gt_txt_id2vid_id)
+    gt = eval_ds.gt_txt_id2vid_id
+    if cfg.get("debug"):
+        # debug caps the scored videos at 5 (`--debug`, config.py:45-48
+        # parity) — restrict the protocol to the scored subset like
+        # validate() does, instead of KeyError-ing on unscored gt videos
+        vids_scored = {r["vid_id"] for r in results}
+        gt = {t: v for t, v in gt.items() if v in vids_scored}
+        results = [r for r in results if r["txt_id"] in gt]
+    metrics = eval_retrieval(results, gt)
     LOGGER.info("inference retrieval: %s", json.dumps(metrics))
     if cfg.get("output_dir"):
         out = os.path.join(cfg.output_dir, "results.json")

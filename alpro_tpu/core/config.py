@@ -208,7 +208,10 @@ def get_video_retrieval_args(argv=None) -> Config:
              "VTC candidates (the serving-index candidate protocol applied "
              "to the eval gate; non-candidates rank below by VTC sim). "
              "~V/K cheaper; exact whenever the protocol's own top ranks "
-             "fall inside the VTC top-K")
+             "fall inside the VTC top-K. text2video ranks candidates "
+             "exactly; with 0<K<V the transposed video2text direction is "
+             "a coarser approximation (only texts that shortlisted the "
+             "video get VTM ranks)")
     return parse_with_config(parser, argv)
 
 

@@ -170,3 +170,29 @@ def test_eval_rerank_topk_full_k_matches_protocol():
         assert all(scores[(v, t)] < 1.0 for v in vids[2:])
         if r_full[t][0] in cand:
             assert r_k2[t][0] == r_full[t][0]
+
+
+def test_eval_rerank_topk_empty_video_shard(monkeypatch):
+    """A host whose video stripe is empty (process_count > n_videos, or
+    debug's 5-video cap) must contribute an empty shard to the gather
+    instead of crashing on argpartition over a (0, n_text) sims array."""
+    from alpro_tpu.cli.run_video_retrieval import _inference_retrieval_topk
+    from alpro_tpu.core.config import Config
+    import alpro_tpu.parallel.host_sync as host_sync
+
+    rng = np.random.RandomState(4)
+    model, params, tok, eval_ds = _mk_eval_fixture(rng)
+    # this host is rank 7 of 8 with only 6 videos → empty local stripe
+    monkeypatch.setattr(jax, "process_index", lambda: 7)
+    monkeypatch.setattr(jax, "process_count", lambda: 8)
+    gathered = []
+    monkeypatch.setattr(
+        host_sync, "all_gather_list",
+        lambda shard: gathered.append(shard) or [shard, [{"vid_id": "v0",
+            "txt_id": "t0", "score": 1.5, "sim": 0.1}]],
+    )
+    cfg = Config(dict(max_txt_len=8, inference_batch_size=4,
+                      eval_video_batch_size=4, eval_pair_batch_size=8))
+    results = _inference_retrieval_topk(model, params, eval_ds, tok, cfg, K=2)
+    assert gathered == [[]]            # joined the collective with an empty shard
+    assert [r["vid_id"] for r in results] == ["v0"]  # peers' rows still merge
