@@ -67,6 +67,27 @@ class MediaDecoder:
             ctypes.POINTER(ctypes.c_uint8),
         ]
         self._lib.alpro_repack_patches.restype = ctypes.c_int
+        self._lib.alpro_open.argtypes = [ctypes.c_char_p]
+        self._lib.alpro_open.restype = ctypes.c_void_p
+        self._lib.alpro_handle_info.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        self._lib.alpro_handle_info.restype = ctypes.c_int
+        self._lib.alpro_read.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        self._lib.alpro_read.restype = ctypes.c_int
+        self._lib.alpro_close.argtypes = [ctypes.c_void_p]
+        self._lib.alpro_close.restype = None
         self._lib.alpro_tok_create.argtypes = [ctypes.c_char_p, ctypes.c_int]
         self._lib.alpro_tok_create.restype = ctypes.c_void_p
         self._lib.alpro_tok_encode.argtypes = [
@@ -131,6 +152,19 @@ class MediaDecoder:
             path.encode(), w, h, n_frames, seed, start_pts
         ) == 0
 
+    def open_video(self, path: str) -> Optional["DecoderHandle"]:
+        """Reusable decoder handle: the container probe + codec open +
+        swscale setup amortize across `read` calls (decord's VideoReader
+        stays open per dataset item the same way,
+        `/root/reference/src/datasets/dataset_base.py:137-182`; the one-shot
+        `decode_frames` re-pays that cost per clip — measured in
+        benchmarks/decode_scaling.py). Returns None if the file can't be
+        opened. Handles are NOT thread-safe; use one per worker."""
+        h = self._lib.alpro_open(path.encode())
+        if not h:
+            return None
+        return DecoderHandle(self._lib, h)
+
     def make_tokenizer(self, vocab_path: str, lowercase: bool = True) -> "NativeWordPiece":
         return NativeWordPiece(self._lib, vocab_path, lowercase)
 
@@ -149,6 +183,69 @@ class MediaDecoder:
         if rc != 0:
             raise ValueError(f"repack failed (rc={rc}): H/W not divisible by {p}")
         return out
+
+
+class DecoderHandle:
+    """Open demux/codec/scaler contexts over one container; see
+    MediaDecoder.open_video. Context-manager friendly."""
+
+    def __init__(self, lib, handle):
+        self._lib = lib
+        self._h = handle
+
+    @property
+    def info(self) -> VideoInfo:
+        nf = ctypes.c_int64()
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        fps = ctypes.c_double()
+        rc = self._lib.alpro_handle_info(
+            self._h, ctypes.byref(nf), ctypes.byref(w), ctypes.byref(h),
+            ctypes.byref(fps),
+        )
+        if rc != 0:
+            raise ValueError("handle closed")
+        return VideoInfo(nf.value, w.value, h.value, fps.value)
+
+    def read(self, indices: Sequence[int], out_h: int = 0,
+             out_w: int = 0) -> Optional[np.ndarray]:
+        """Decode frame indices → (n, out_h, out_w, 3) uint8 RGB. Reads are
+        independent (each seeks to its first target): backward targets,
+        repeats, and reads after a prior read hit EOF all work."""
+        if self._h is None:
+            raise ValueError("handle closed")
+        if not (out_h and out_w):
+            info = self.info
+            out_h = out_h or info.height
+            out_w = out_w or info.width
+        idx = np.ascontiguousarray(np.asarray(indices, dtype=np.int64))
+        out = np.empty((len(idx), out_h, out_w, 3), dtype=np.uint8)
+        rc = self._lib.alpro_read(
+            self._h,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(idx), out_w, out_h,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc != 0:
+            return None
+        return out
+
+    def close(self):
+        if self._h is not None:
+            self._lib.alpro_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class NativeWordPiece:

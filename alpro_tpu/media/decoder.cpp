@@ -8,6 +8,13 @@
 // C ABI:
 //   alpro_probe(path, &num_frames, &width, &height, &fps)
 //   alpro_decode_frames(path, indices, n, out_w, out_h, out_buf)
+//   alpro_open(path) / alpro_handle_info(h, ...) / alpro_read(h, indices, n,
+//       out_w, out_h, out_buf) / alpro_close(h)   — reusable decoder handle:
+//       container probe + codec open + swscale context amortize across reads
+//       (decord keeps its VideoReader open per dataset item the same way,
+//       /root/reference/src/datasets/dataset_base.py:137-182; the one-shot
+//       alpro_decode_frames re-paid that cost per clip — measured in
+//       benchmarks/decode_scaling.py)
 //   alpro_encode_test_video(path, w, h, n_frames, seed)   (MJPEG/AVI fixture
 //       writer so decode tests need no dataset downloads)
 //
@@ -80,44 +87,18 @@ struct Demux {
   }
 };
 
-}  // namespace
-
-extern "C" {
-
-int alpro_probe(const char* path, int64_t* num_frames, int* width, int* height,
-                double* fps) {
-  Demux d;
-  int rc = d.open(path);
-  if (rc != 0) return rc;
-  *num_frames = d.num_frames();
-  *width = d.dec->width;
-  *height = d.dec->height;
-  *fps = d.fps();
-  return 0;
-}
-
-// Decode the given frame indices (any order; internally sorted) into
-// out_buf[n][out_h][out_w][3] (RGB24). out_w/out_h must be > 0.
-// Strategy: one forward scan with keyframe seeks between sparse targets —
-// the decord seek-and-decode trick, without its per-frame bridge overhead.
-int alpro_decode_frames(const char* path, const int64_t* indices, int n,
-                        int out_w, int out_h, uint8_t* out_buf) {
-  if (n <= 0 || out_w <= 0 || out_h <= 0) return -100;
-  Demux d;
-  int rc = d.open(path);
-  if (rc != 0) return rc;
-
-  // sorted unique targets with their output slots
-  std::vector<std::pair<int64_t, int>> targets(n);
-  for (int i = 0; i < n; ++i) targets[i] = {indices[i], i};
-  std::sort(targets.begin(), targets.end());
-
-  SwsContext* sws =
-      sws_getContext(d.dec->width, d.dec->height, d.dec->pix_fmt, out_w, out_h,
-                     AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr, nullptr);
-  if (!sws) return -8;
-
+// Forward scan with keyframe seeks between sparse targets — the decord
+// seek-and-decode trick. Shared by the one-shot path (alpro_decode_frames)
+// and the reusable handle path (alpro_read); the handle re-enters with the
+// demux/codec/sws contexts already open and seeks to the first target.
+static int decode_targets(Demux& d, SwsContext* sws,
+                          std::vector<std::pair<int64_t, int>>& targets,
+                          int out_w, int out_h, uint8_t* out_buf) {
   AVFrame* frame = av_frame_alloc();
+  // survives EOF: avcodec_receive_frame unrefs its dst on entry, so after
+  // the final (failing) receive `frame` is empty — past-EOF targets must
+  // clamp to a frame we still hold a reference to
+  AVFrame* last = av_frame_alloc();
   AVPacket* pkt = av_packet_alloc();
   const size_t frame_bytes = (size_t)out_w * out_h * 3;
   const double fps = d.fps();
@@ -150,6 +131,8 @@ int alpro_decode_frames(const char* path, const int64_t* indices, int n,
         ++cur;
       emit(frame, cur);
       got_any = true;
+      av_frame_unref(last);
+      av_frame_move_ref(last, frame);  // frame is clean for the next receive
     }
   };
 
@@ -170,14 +153,16 @@ int alpro_decode_frames(const char* path, const int64_t* indices, int n,
         avcodec_send_packet(d.dec, nullptr);
         drain();
         // remaining targets past EOF: clamp to the last decoded frame
-        while (ti < targets.size() && got_any) {
+        // (`last`, not `frame` — the failed receive left `frame` empty,
+        // and `last` also covers frames decoded in an earlier scan pass)
+        while (ti < targets.size() && last->data[0]) {
           uint8_t* dst[1] = {out_buf + frame_bytes * targets[ti].second};
           int dst_stride[1] = {out_w * 3};
-          sws_scale(sws, frame->data, frame->linesize, 0, d.dec->height, dst,
+          sws_scale(sws, last->data, last->linesize, 0, d.dec->height, dst,
                     dst_stride);
           ++ti;
         }
-        if (!got_any && ti < targets.size()) err = -9;
+        if (ti < targets.size()) err = -9;
         break;
       }
       if (pkt->stream_index != d.stream_idx) {
@@ -209,9 +194,132 @@ int alpro_decode_frames(const char* path, const int64_t* indices, int n,
   }
 
   av_frame_free(&frame);
+  av_frame_free(&last);
   av_packet_free(&pkt);
-  sws_freeContext(sws);
   return (ti == targets.size()) ? 0 : (err ? err : -11);
+}
+
+// Reusable decoder handle: demux + codec + a cached swscale context keyed
+// on the output size. Each read seeks to its first target and flushes the
+// codec, so reads are independent; only the expensive container/codec open
+// amortizes.
+struct AlproHandle {
+  Demux d;
+  SwsContext* sws = nullptr;
+  int sws_w = 0, sws_h = 0;
+
+  ~AlproHandle() {
+    if (sws) sws_freeContext(sws);
+  }
+
+  SwsContext* scaler(int out_w, int out_h) {
+    if (sws && sws_w == out_w && sws_h == out_h) return sws;
+    if (sws) sws_freeContext(sws);
+    sws = sws_getContext(d.dec->width, d.dec->height, d.dec->pix_fmt, out_w,
+                         out_h, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
+                         nullptr, nullptr);
+    sws_w = out_w;
+    sws_h = out_h;
+    return sws;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+int alpro_probe(const char* path, int64_t* num_frames, int* width, int* height,
+                double* fps) {
+  Demux d;
+  int rc = d.open(path);
+  if (rc != 0) return rc;
+  *num_frames = d.num_frames();
+  *width = d.dec->width;
+  *height = d.dec->height;
+  *fps = d.fps();
+  return 0;
+}
+
+void* alpro_open(const char* path) {
+  AlproHandle* h = new AlproHandle();
+  if (h->d.open(path) != 0) {
+    delete h;
+    return nullptr;
+  }
+  return h;
+}
+
+int alpro_handle_info(void* handle, int64_t* num_frames, int* width,
+                      int* height, double* fps) {
+  if (!handle) return -1;
+  AlproHandle* h = static_cast<AlproHandle*>(handle);
+  *num_frames = h->d.num_frames();
+  *width = h->d.dec->width;
+  *height = h->d.dec->height;
+  *fps = h->d.fps();
+  return 0;
+}
+
+// Decode frame indices through an open handle. Reads are stateless w.r.t.
+// each other: the codec is flushed and the demuxer seeked to the first
+// target's keyframe at entry (handles prior-read EOF drain, backward
+// targets, and repeated reads of the same frames).
+int alpro_read(void* handle, const int64_t* indices, int n, int out_w,
+               int out_h, uint8_t* out_buf) {
+  if (!handle) return -1;
+  if (n <= 0 || out_w <= 0 || out_h <= 0) return -100;
+  AlproHandle* h = static_cast<AlproHandle*>(handle);
+
+  std::vector<std::pair<int64_t, int>> targets(n);
+  for (int i = 0; i < n; ++i) targets[i] = {indices[i], i};
+  std::sort(targets.begin(), targets.end());
+
+  SwsContext* sws = h->scaler(out_w, out_h);
+  if (!sws) return -8;
+
+  // reposition: keyframe-seek at/before the first target, flush the codec
+  // (a prior read may have drained it to EOF)
+  const double fps = h->d.fps();
+  const AVRational tb = h->d.stream()->time_base;
+  const int64_t start_pts =
+      h->d.stream()->start_time != AV_NOPTS_VALUE ? h->d.stream()->start_time
+                                                  : 0;
+  int64_t ts = start_pts;
+  if (fps > 0)
+    ts += (int64_t)((double)targets.front().first / fps / av_q2d(tb));
+  if (av_seek_frame(h->d.fmt, h->d.stream_idx, ts, AVSEEK_FLAG_BACKWARD) < 0)
+    av_seek_frame(h->d.fmt, h->d.stream_idx, 0,
+                  AVSEEK_FLAG_BACKWARD | AVSEEK_FLAG_BYTE);
+  avcodec_flush_buffers(h->d.dec);
+
+  return decode_targets(h->d, sws, targets, out_w, out_h, out_buf);
+}
+
+void alpro_close(void* handle) {
+  delete static_cast<AlproHandle*>(handle);
+}
+
+// One-shot decode (original API): open + read + close. Kept for callers
+// that touch each container once; the per-clip open cost it re-pays is
+// measured in benchmarks/decode_scaling.py.
+int alpro_decode_frames(const char* path, const int64_t* indices, int n,
+                        int out_w, int out_h, uint8_t* out_buf) {
+  if (n <= 0 || out_w <= 0 || out_h <= 0) return -100;
+  Demux d;
+  int rc = d.open(path);
+  if (rc != 0) return rc;
+
+  std::vector<std::pair<int64_t, int>> targets(n);
+  for (int i = 0; i < n; ++i) targets[i] = {indices[i], i};
+  std::sort(targets.begin(), targets.end());
+
+  SwsContext* sws =
+      sws_getContext(d.dec->width, d.dec->height, d.dec->pix_fmt, out_w, out_h,
+                     AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr, nullptr);
+  if (!sws) return -8;
+  rc = decode_targets(d, sws, targets, out_w, out_h, out_buf);
+  sws_freeContext(sws);
+  return rc;
 }
 
 // Repack HWC uint8 frames into patch-major (N, p*p*C) vectors — the

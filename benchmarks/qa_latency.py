@@ -114,7 +114,62 @@ def measure_qa_latency(n_clips=1, queries=30, num_frm=16, img_size=224,
         float(tiny(jnp.float32(0.0)))
         floor.append((time.perf_counter() - t0) * 1e3)
 
+    # device-side per-question cost: chain Q questions inside one jit
+    # (lax.scan over pre-staged token ids) + scalar readback — dispatch
+    # floor amortized, tunnel H2D excluded; the per-question number a
+    # production serving loop sees. Measured for both the full path (video
+    # tower re-runs per question) and the cached-video fast path.
+    from alpro_tpu.train.step import make_qa_inference_fn
+
+    infer = make_qa_inference_fn(model)
+    Q = 8
+    all_ids = jnp.asarray(
+        rng.randint(0, 30522, (Q, n_clips, max_txt_len)).astype(np.int32)
+    )
+    qmask = jnp.ones((n_clips, max_txt_len), jnp.int32)
+    clips_dev = jax.device_put(clips)
+
+    @jax.jit
+    def chained_full(params, clips, all_ids, mask):
+        def body(acc, ids):
+            logits = infer(params, {
+                "visual_inputs": clips,
+                "text_input_ids": ids, "text_input_mask": mask,
+            })
+            return acc + logits.astype(jnp.float32).sum(), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), all_ids)
+        return acc
+
+    @jax.jit
+    def chained_cached(params, feats, all_ids, mask):
+        def body(acc, ids):
+            logits = infer(params, {
+                "video_embeds": feats,
+                "text_input_ids": ids, "text_input_mask": mask,
+            })
+            return acc + logits.astype(jnp.float32).sum(), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), all_ids)
+        return acc
+
+    _ = float(chained_full(qa.params, clips_dev, all_ids, qmask))
+    dev_full = np.inf
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        _ = float(chained_full(qa.params, clips_dev, all_ids, qmask))
+        dev_full = min(dev_full, (time.perf_counter() - t0) * 1e3 / Q)
+
+    _ = float(chained_cached(qa.params, feats, all_ids, qmask))
+    dev_cached = np.inf
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        _ = float(chained_cached(qa.params, feats, all_ids, qmask))
+        dev_cached = min(dev_cached, (time.perf_counter() - t0) * 1e3 / Q)
+
     return {
+        "device_ms_full": float(dev_full),
+        "device_ms_cached": float(dev_cached),
         "p50_ms": lat[len(lat) // 2],
         "p90_ms": lat[int(len(lat) * 0.9)],
         "cached_p50_ms": cached[len(cached) // 2],
@@ -144,6 +199,8 @@ def main():
         "encode_ms": round(r["encode_ms"], 1),
         "h2d_ms": round(r["h2d_ms"], 1),
         "dispatch_floor_ms": round(r["dispatch_floor_ms"], 1),
+        "device_ms_full": round(r["device_ms_full"], 1),
+        "device_ms_cached": round(r["device_ms_cached"], 1),
         "unit": "ms",
         "compile_s": round(r["compile_s"], 1),
     }), flush=True)

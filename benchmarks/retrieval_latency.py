@@ -86,9 +86,35 @@ def measure_latency(gallery=1000, topk=16, n_queries=50, num_frm=8,
         _ = np.asarray(logits)
         lat.append((time.perf_counter() - t0) * 1000)
     lat = np.asarray(lat)
+
+    # device-side per-query cost: chain Q queries inside ONE jit (lax.scan
+    # over pre-staged ids) and close with a scalar readback — amortizes the
+    # per-dispatch host↔device floor (~33 ms on this tunnel, docs/PERF.md)
+    # and excludes H2D, i.e. the number a production host's serving loop
+    # would see per query once dispatches are pipelined.
+    Q = 32
+    all_ids = jnp.asarray(rng.randint(0, 30522, (Q, 1, L)).astype(np.int32))
+
+    @jax.jit
+    def chained(params, all_ids, mask, bank, topk_tokens):
+        def body(acc, ids):
+            sims, logits = query(params, ids, mask, bank, topk_tokens)
+            return acc + logits.astype(jnp.float32).sum(), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), all_ids)
+        return acc
+
+    _ = float(chained(params, all_ids, mask, video_feat_bank, topk_tokens))
+    device_ms = np.inf
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        _ = float(chained(params, all_ids, mask, video_feat_bank, topk_tokens))
+        device_ms = min(device_ms, (time.perf_counter() - t0) * 1000 / Q)
+
     return {
         "p50_ms": float(np.percentile(lat, 50)),
         "p90_ms": float(np.percentile(lat, 90)),
+        "device_ms_per_query": float(device_ms),
     }
 
 
@@ -111,6 +137,7 @@ def main():
         "value": round(r["p50_ms"], 2),
         "unit": "ms",
         "p90_ms": round(r["p90_ms"], 2),
+        "device_ms_per_query": round(r["device_ms_per_query"], 2),
     }))
 
 

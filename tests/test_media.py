@@ -208,3 +208,79 @@ def test_repack_patches_matches_numpy_layout(decoder):
         .reshape(T, hp * wp, p * p * C)
     )
     np.testing.assert_array_equal(got, want)
+
+
+# --------------------------------------------------------------------------
+# reusable decoder handle (alpro_open / alpro_read / alpro_close)
+# --------------------------------------------------------------------------
+def test_handle_info_matches_probe(decoder, test_video):
+    with decoder.open_video(test_video) as h:
+        info = h.info
+        ref = decoder.probe(test_video)
+        assert (info.num_frames, info.width, info.height) == (
+            ref.num_frames, ref.width, ref.height)
+        assert info.fps == pytest.approx(ref.fps)
+
+
+def test_handle_read_matches_one_shot_decode(decoder, test_video):
+    idx = [0, 7, 14, 29]
+    one_shot = decoder.decode_frames(test_video, idx, 64, 80)
+    with decoder.open_video(test_video) as h:
+        got = h.read(idx, out_h=64, out_w=80)
+    assert got is not None
+    np.testing.assert_array_equal(got, one_shot)
+
+
+def test_handle_reads_are_independent(decoder, test_video):
+    """Backward targets, repeats, and reads after a prior read hit EOF all
+    work on one handle (each read reseeks)."""
+    with decoder.open_video(test_video) as h:
+        a = h.read([20, 29], out_h=32, out_w=32)   # runs to EOF
+        b = h.read([0, 1], out_h=32, out_w=32)     # backward after EOF
+        c = h.read([5, 5, 2], out_h=32, out_w=32)  # repeats + unsorted
+    for clip in (a, b, c):
+        assert clip is not None
+    np.testing.assert_array_equal(
+        b, decoder.decode_frames(test_video, [0, 1], 32, 32))
+    np.testing.assert_array_equal(
+        c, decoder.decode_frames(test_video, [5, 5, 2], 32, 32))
+
+
+def test_handle_output_size_switch(decoder, test_video):
+    """The cached swscale context rebuilds when the output size changes."""
+    with decoder.open_video(test_video) as h:
+        a = h.read([3], out_h=48, out_w=48)
+        b = h.read([3], out_h=96, out_w=128)
+        c = h.read([3], out_h=48, out_w=48)
+    assert a.shape == (1, 48, 48, 3) and b.shape == (1, 96, 128, 3)
+    np.testing.assert_array_equal(a, c)
+    np.testing.assert_array_equal(
+        b, decoder.decode_frames(test_video, [3], 96, 128))
+
+
+def test_handle_open_missing_file(decoder):
+    assert decoder.open_video("/nonexistent/clip.mp4") is None
+
+
+def test_handle_closed_read_raises(decoder, test_video):
+    h = decoder.open_video(test_video)
+    h.close()
+    h.close()  # idempotent
+    with pytest.raises(ValueError):
+        h.read([0], out_h=32, out_w=32)
+
+
+def test_eof_clamp_yields_last_decoded_pixels(decoder, tmp_path):
+    """Targets at/past EOF clamp to the LAST DECODED frame's pixels. (The
+    clamp previously scaled from the post-EOF-drain frame object, which
+    avcodec_receive_frame had already unreffed — null planes, garbage
+    output, 'bad src image pointers' warnings.) MJPEG-in-MP4 loses its
+    final sample to a mov-demux quirk, making .mp4 fixtures the natural
+    repro: index n-1 exercises the clamp."""
+    path = str(tmp_path / "clamp.mp4")
+    assert decoder.encode_test_video(path, w=64, h=64, n_frames=40, seed=11)
+    full = decoder.decode_frames(path, list(range(39)), 64, 64)
+    got = decoder.decode_frames(path, [0, 39, 500], 64, 64)
+    np.testing.assert_array_equal(got[0], full[0])
+    np.testing.assert_array_equal(got[1], full[38])  # clamp at EOF
+    np.testing.assert_array_equal(got[2], full[38])  # clamp far past EOF
