@@ -224,7 +224,9 @@ def start_inference(cfg: Config):
     results = inference_qa(model, params, ds, tokenizer, cfg)
     metrics = ds.evaluate_qa(results)
     LOGGER.info("inference qa: %s", json.dumps(metrics))
-    if cfg.get("output_dir"):
+    from alpro_tpu.core.distributed import is_primary
+
+    if cfg.get("output_dir") and is_primary():
         with open(os.path.join(cfg.output_dir, "qa_results.json"), "w") as f:
             json.dump({"metrics": metrics, "results": results}, f)
     return metrics

@@ -423,7 +423,9 @@ def start_inference(cfg: Config):
         results = [r for r in results if r["txt_id"] in gt]
     metrics = eval_retrieval(results, gt)
     LOGGER.info("inference retrieval: %s", json.dumps(metrics))
-    if cfg.get("output_dir"):
+    from alpro_tpu.core.distributed import is_primary
+
+    if cfg.get("output_dir") and is_primary():
         out = os.path.join(cfg.output_dir, "results.json")
         with open(out, "w") as f:
             json.dump({"metrics": metrics, "results": results}, f)

@@ -68,6 +68,15 @@ def process_info() -> tuple:
         return 0, 1
 
 
+def is_primary() -> bool:
+    """True on the host that owns run-dir file writes (rank 0). The
+    reference gates result/checkpoint writes to rank 0 the same way
+    (`run_video_retrieval.py:697-728`); non-primary hosts writing to a
+    shared output_dir would race, and their host-local dirs may not exist
+    (setup_environment only mkdirs on the primary)."""
+    return process_info()[0] == 0
+
+
 def data_shards() -> tuple:
     """(num_shards, shard_id) for per-host dataset sharding — the
     DistributedSampler role (`run_video_retrieval.py:115-117`): every host

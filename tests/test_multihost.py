@@ -124,3 +124,71 @@ def test_two_process_cli_train_and_resume(tmp_path):
     assert results[0]["step_first_run"] >= 2
     # run 2 restored the shared checkpoint instead of restarting at step 0
     assert results[0]["step_resumed_run"] >= results[0]["step_first_run"]
+
+
+QA_PRETRAIN_WORKER = os.path.join(
+    os.path.dirname(__file__), "multihost_qa_pretrain_worker.py"
+)
+
+
+def _run_qp(mode, pid, nproc, port, root):
+    return subprocess.Popen(
+        [sys.executable, QA_PRETRAIN_WORKER, mode, str(pid), str(nproc),
+         str(port), root],
+        env=_env(), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+
+
+def _run_pair_and_single(mode, tmp_path):
+    root = str(tmp_path)
+    p = _run_qp(mode, 0, 1, 0, root)
+    out, _ = p.communicate(timeout=900)
+    assert p.returncode == 0, out.decode(errors="replace")[-3000:]
+    os.rename(os.path.join(root, f"{mode}_p0.json"),
+              os.path.join(root, f"{mode}_single.json"))
+
+    port = _free_port()
+    procs = [_run_qp(mode, i, 2, port, root) for i in (1, 0)]
+    logs = [p.communicate(timeout=900)[0] for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, logs[i].decode(errors="replace")[-3000:]
+    with open(os.path.join(root, f"{mode}_single.json")) as f:
+        single = json.load(f)
+    multi = []
+    for i in range(2):
+        with open(os.path.join(root, f"{mode}_p{i}.json")) as f:
+            multi.append(json.load(f))
+    assert single["process_count"] == 1
+    assert all(m["process_count"] == 2 for m in multi)
+    return single, multi
+
+
+@pytest.mark.slow
+def test_two_process_qa_inference_matches_single(tmp_path):
+    """The QA eval's cross-rank merge (`inference_qa` → host_sync
+    all_gather_list; the reference's per-answer-type ratio-weighted merge,
+    `run_video_qa.py:300-356`): per-host question striping must reassemble
+    into exactly the single-process metrics and per-question answers."""
+    single, (m0, m1) = _run_pair_and_single("qa", tmp_path)
+    assert m0["metrics"] == m1["metrics"]           # replicated merge result
+    assert m0["metrics"] == single["metrics"]       # striping is lossless
+    assert m0["answers"] == single["answers"]       # per-question agreement
+    assert m1["answers"] is None                    # rank-0-only file write
+    assert len(single["answers"]) == 10
+
+
+@pytest.mark.slow
+def test_two_process_pretrain_matches_single(tmp_path):
+    """The pretrain collective paths (prompt-bank build via the real
+    setup_prompt_banks on the global mesh; 4-objective step with teacher +
+    replicated bank): 2-process per-step losses must match the 1-process
+    run over the identical global batches (tolerance only for cross-runtime
+    reduction-order slack, as in the retrieval multihost test)."""
+    single, (m0, m1) = _run_pair_and_single("pretrain", tmp_path)
+    np.testing.assert_array_equal(m0["losses"], m1["losses"])
+    assert m0["fingerprint"] == m1["fingerprint"]
+    np.testing.assert_allclose(single["losses"], m0["losses"],
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(single["fingerprint"], m0["fingerprint"],
+                               rtol=1e-6)
+    assert single["losses"][0] != single["losses"][1]  # training progressed
