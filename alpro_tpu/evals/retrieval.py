@@ -75,13 +75,19 @@ def eval_retrieval(
     gt_vid2txts: Dict = defaultdict(list)
     for t, v in gt_txt_id2vid_id.items():
         gt_vid2txts[v].append(t)
-    if len(gt_vid2txts) == len(gt_txt_id2vid_id):
+    # v2t ranks only videos that are SOME text's ground truth (a video with
+    # no gt caption has no defined rank). The reference's eval sets always
+    # have one caption per video, so this filter never drops a row there;
+    # synthetic or debug-trimmed subsets can have caption-less videos.
+    vids_w_gt = [v for v in vid_ids if gt_vid2txts[v]]
+    rows = np.asarray([vid_id2idx[v] for v in vids_w_gt], dtype=np.int64)
+    if all(len(gt_vid2txts[v]) == 1 for v in vids_w_gt):
         # 1:1 protocol (MSRVTT-1k, DiDeMo paragraph retrieval) — identical
         # to the reference's inversion (`run_video_retrieval.py:559-629`)
         v2t_gt = np.asarray(
-            [txt_id2idx[gt_vid2txts[v][0]] for v in vid_ids], dtype=np.int64
+            [txt_id2idx[gt_vid2txts[v][0]] for v in vids_w_gt], dtype=np.int64
         )
-        v2t = retrieval_metrics_from_matrix(score.T, v2t_gt)
+        v2t = retrieval_metrics_from_matrix(score.T[rows], v2t_gt)
     else:
         # multi-caption protocol (MSRVTT full split: 20 captions/video):
         # a video's rank is the BEST rank among its ground-truth captions —
@@ -89,8 +95,8 @@ def eval_retrieval(
         # sets are all 1:1). t2v above is unchanged (each caption still has
         # exactly one ground-truth video).
         v2t = retrieval_metrics_multi_gt(
-            score.T,
-            [[txt_id2idx[t] for t in gt_vid2txts[v]] for v in vid_ids],
+            score.T[rows],
+            [[txt_id2idx[t] for t in gt_vid2txts[v]] for v in vids_w_gt],
         )
     return dict(text2video=t2v, video2text=v2t)
 
