@@ -469,22 +469,29 @@ def _run(extras):
         except Exception as e:
             extras["train_error"] = repr(e)[:200]
 
-    # the B=16 / B=32 operating points: per-clip cost scales sublinearly
-    # with batch (less per-step fixed overhead per clip; docs/PERF.md) —
-    # the ≥50 clips/s target is an operating-point question, so both
-    # numbers go on the record next to B=8
-    for b, iters in ((16, 6), (32, 4)):
+    # the B=16 / B=32 operating points next to B=8 — the ≥50 clips/s target
+    # is an operating-point question, so the numbers go on the record.
+    # Measured round 5 (docs/PERF.md §Round 5): the curve is monotone DOWN
+    # — 44.9 (B=8) > 39.51 (B=16 unrolled) > 33.17 (B=32) — the
+    # sublinear-overhead prediction was wrong; backward data movement grows
+    # superlinearly. B=32 under dots_ln OOMs at compile (17.32G vs 15.75G
+    # hbm: twenty ~222M saved-qkv temps), so that point runs full remat.
+    # The graph + policy are recorded per point, so cross-point comparisons
+    # stay honest when the budget forces scan.
+    for b, iters, policy in ((16, 6, "dots_ln"), (32, 4, "nothing")):
         if _time_left() < 300:
             break
         try:
             from benchmarks.train_step import measure_train_step
 
-            scan = _time_left() < 600
+            # pinned unrolled: matches the round-5 persistent-cache entries
+            # (warm ~1 min) and keeps the three batch points one graph family
             tr = measure_train_step(batch=b, iters=iters,
-                                    remat_policy="dots_ln",
-                                    scan_blocks=scan, mu_dtype="bfloat16")
+                                    remat_policy=policy,
+                                    scan_blocks=False, mu_dtype="bfloat16")
             extras[f"train_clips_per_sec_b{b}"] = round(tr["clips_per_sec"], 2)
             extras[f"train_ms_per_step_b{b}"] = round(tr["ms_per_step"], 1)
+            extras[f"train_graph_b{b}"] = "unrolled+" + policy
         except Exception as e:
             extras[f"train_b{b}_error"] = repr(e)[:200]
 
