@@ -116,3 +116,65 @@ class VideoQAPredictor:
             (self.label2ans.get(int(i), f"<label {int(i)}>"), float(probs[i]))
             for i in order
         ]
+
+    def predict_batch(
+        self,
+        clips: Union[np.ndarray, "object"],
+        questions: List[str],
+        topk: int = 5,
+        pool: Optional[str] = None,
+    ) -> List[List[Tuple[str, float]]]:
+        """B questions about ONE video in a single device dispatch.
+
+        The video tower runs at most once (pixels are encoded via
+        `encode_video` first; pass its output directly to skip it entirely),
+        then all (question × clip) pairs batch through text + fusion + head
+        together — the interactive-session throughput shape (MSRVTT-QA
+        averages ~2.4 questions/clip; a session asks many more). Per-question
+        results identical to `predict` (same pooling/ranking; jit
+        specializes per (B, n_clips))."""
+        import jax
+        import jax.numpy as jnp
+
+        from alpro_tpu.evals.qa import pool_clip_logits
+
+        if not questions:
+            return []
+        if clips.ndim == 5:
+            clips = self.encode_video(clips)
+        assert clips.ndim == 3, (
+            "clips must be (n_clips, T, H, W, 3) pixels or the "
+            "(n_clips, 1+N, D) output of encode_video"
+        )
+        n = clips.shape[0]
+        B = len(questions)
+        # question-major pair layout: row b·n + j = (question b, clip j)
+        enc = self.tokenizer(
+            [q for q in questions for _ in range(n)],
+            max_length=self.max_txt_len,
+        )
+        batch = {
+            "text_input_ids": jnp.asarray(
+                np.asarray(enc["input_ids"], dtype=np.int32)
+            ),
+            "text_input_mask": jnp.asarray(
+                np.asarray(enc["attention_mask"], dtype=np.int32)
+            ),
+            "video_embeds": jnp.tile(clips, (B, 1, 1)),
+        }
+        logits = np.asarray(self._infer(self.params, batch))  # (B·n, L)
+        # (B·n, L) → (n_clips, B, L) for the reference multi-clip pooling
+        pooled = pool_clip_logits(
+            logits.reshape(B, n, -1).transpose(1, 0, 2),
+            method=pool or self.pool,
+        )                                                      # (B, L)
+        probs = np.asarray(jax.nn.softmax(jnp.asarray(pooled), axis=-1))
+        out = []
+        for b in range(B):
+            order = np.argsort(-probs[b], kind="stable")[:topk]
+            out.append([
+                (self.label2ans.get(int(i), f"<label {int(i)}>"),
+                 float(probs[b, i]))
+                for i in order
+            ])
+        return out

@@ -571,6 +571,24 @@ def _run(extras):
             extras["decode_embed_score_clips_per_sec"] = round(pipe, 2)
         except Exception as e:
             extras["pipeline_score_error"] = repr(e)[:200]
+
+    # batched serving throughput (round 5): B=16 texts per dispatch through
+    # RetrievalIndex.query_batch's device path — the serving-throughput
+    # counterpart of retrieval_device_ms_per_query. Last because it compiles
+    # a new graph family; only runs on leftover budget.
+    if _time_left() > 240:
+        try:
+            from benchmarks.retrieval_latency import measure_batched
+
+            bt = measure_batched(batch_sizes=(16,), n_chained=4)
+            extras["retrieval_batched_device_qps_b16"] = round(
+                bt["device_qps_b16"], 1
+            )
+            extras["retrieval_batched_device_ms_per_query_b16"] = round(
+                bt["device_ms_per_query_b16"], 2
+            )
+        except Exception as e:
+            extras["retrieval_batched_error"] = repr(e)[:200]
     # the single JSON line is emitted by main() on return
 
 

@@ -181,12 +181,108 @@ def measure_qa_latency(n_clips=1, queries=30, num_frm=16, img_size=224,
     }
 
 
+def measure_qa_batched(n_clips=1, batch_sizes=(8, 16), num_frm=16,
+                       img_size=224, num_labels=1500, max_txt_len=25,
+                       n_chained=4) -> dict:
+    """Batched-question QA THROUGHPUT against one cached video — the
+    device path of `VideoQAPredictor.predict_batch` ((B·n_clips) question×
+    clip pairs through text + fusion + head in one jit), scan-chained and
+    closed by a scalar readback. The interactive-session shape: encode the
+    video once, answer B questions per dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from alpro_tpu.core.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    from alpro_tpu.models import BertConfig, TimeSformerConfig, build_qa_model
+    from alpro_tpu.train.step import (
+        make_qa_inference_fn,
+        make_qa_video_encode_fn,
+    )
+
+    vis = TimeSformerConfig(
+        img_size=img_size, patch_size=16, num_frames=num_frm,
+        drop_path_rate=0.0, scan_blocks=True,
+    )
+    bert = BertConfig(scan_blocks=True)
+    model = build_qa_model(bert, vis, num_labels=num_labels,
+                           img_size=img_size, num_frm=num_frm,
+                           dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    L = max_txt_len
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, num_frm, img_size, img_size, 3), jnp.bfloat16),
+        jnp.zeros((1, L), jnp.int32), jnp.ones((1, L), jnp.int32),
+    )
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params,
+    )
+    clips = rng.randint(
+        0, 255, (n_clips, num_frm, img_size, img_size, 3), np.uint8
+    )
+    feats = jax.jit(make_qa_video_encode_fn(model))(params, clips)
+    feats.block_until_ready()
+    infer = make_qa_inference_fn(model)
+
+    out = {"n_clips": n_clips, "num_labels": num_labels}
+    for B in batch_sizes:
+        pairs = B * n_clips
+        all_ids = jnp.asarray(
+            rng.randint(0, 30522, (n_chained, pairs, L)).astype(np.int32)
+        )
+        mask = jnp.ones((pairs, L), jnp.int32)
+        feats_rep = jnp.tile(feats, (B, 1, 1))
+
+        @jax.jit
+        def chained(params, feats_rep, all_ids, mask):
+            def body(acc, ids):
+                logits = infer(params, {
+                    "video_embeds": feats_rep,
+                    "text_input_ids": ids, "text_input_mask": mask,
+                })
+                return acc + logits.astype(jnp.float32).sum(), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), all_ids)
+            return acc
+
+        _ = float(chained(params, feats_rep, all_ids, mask))
+        best = np.inf
+        for _trial in range(2):
+            t0 = time.perf_counter()
+            _ = float(chained(params, feats_rep, all_ids, mask))
+            best = min(best, time.perf_counter() - t0)
+        out[f"device_qps_b{B}"] = float(B * n_chained / best)
+        out[f"device_ms_per_question_b{B}"] = float(
+            best * 1e3 / (B * n_chained)
+        )
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n_clips", type=int, default=1)
     ap.add_argument("--queries", type=int, default=30)
     ap.add_argument("--num_frm", type=int, default=16)
+    ap.add_argument("--batched", action="store_true",
+                    help="measure batched predict_batch throughput against "
+                         "one cached video")
+    ap.add_argument("--batch_sizes", type=int, nargs="+", default=[8, 16])
     args = ap.parse_args()
+    if args.batched:
+        r = measure_qa_batched(n_clips=args.n_clips, num_frm=args.num_frm,
+                               batch_sizes=tuple(args.batch_sizes))
+        print(json.dumps({
+            "metric": f"batched video-QA serving throughput (ViT-B/16 "
+                      f"T={args.num_frm}, {args.n_clips} cached clip(s), "
+                      f"1500 labels)",
+            **{k: (round(v, 2) if isinstance(v, float) else v)
+               for k, v in r.items()},
+        }), flush=True)
+        return
     r = measure_qa_latency(n_clips=args.n_clips, queries=args.queries,
                            num_frm=args.num_frm)
     print(json.dumps({

@@ -118,6 +118,100 @@ def measure_latency(gallery=1000, topk=16, n_queries=50, num_frm=8,
     }
 
 
+def measure_batched(gallery=1000, topk=16, batch_sizes=(8, 16), num_frm=8,
+                    img_size=224, max_txt_len=40, n_chained=4) -> dict:
+    """Batched-query serving THROUGHPUT through the shipped
+    `RetrievalIndex._batched_query_fn` (the exact `query_batch` device
+    path): B texts per dispatch — text tower + VTC top-k + (B·k)-pair VTM
+    rerank in one jit. Device-side queries/s via `n_chained` scan-chained
+    batches closed by a scalar readback (dispatch floor amortized), plus
+    the tunnel-inclusive e2e ms per batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from alpro_tpu.core.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    from alpro_tpu.models import (
+        BertConfig,
+        TimeSformerConfig,
+        build_retrieval_model,
+    )
+    from alpro_tpu.serving import RetrievalIndex
+
+    vis = TimeSformerConfig(
+        img_size=img_size, patch_size=16, num_frames=num_frm,
+        drop_path_rate=0.0, scan_blocks=True,
+    )
+    bert = BertConfig(scan_blocks=True)
+    model = build_retrieval_model(bert, vis, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    L = max_txt_len
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, num_frm, img_size, img_size, 3), jnp.bfloat16),
+        jnp.zeros((1, L), jnp.int32), jnp.ones((1, L), jnp.int32),
+    )
+
+    # index with injected synthetic banks (embedding 1000 real videos is
+    # the embed benchmark's job; the query path only reads the banks)
+    idx = RetrievalIndex(model, params, tokenizer=None,
+                         max_txt_len=L, topk=topk)
+    N = vis.num_patches + 1
+    feats = rng.randn(gallery, 256).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    idx.ids = [f"v{i}" for i in range(gallery)]
+    idx._feat_chunks = [feats]
+    idx._token_chunks = [
+        np.asarray(jnp.asarray(
+            rng.randn(gallery, N, 768).astype(np.float32), jnp.bfloat16
+        ))
+    ]
+    feats_d, tokens_d = idx._device_banks()
+
+    out = {"gallery": gallery, "topk": topk}
+    for B in batch_sizes:
+        qfn = idx._batched_query_fn(topk)
+        ids1 = jnp.asarray(rng.randint(0, 30522, (B, L)).astype(np.int32))
+        mask = jnp.ones((B, L), jnp.int32)
+        probs, sims, ti = qfn(idx.params, feats_d, tokens_d, ids1, mask)
+        _ = np.asarray(probs)  # compile + sync
+
+        e2e = []
+        for _i in range(6):
+            t0 = time.perf_counter()
+            probs, sims, ti = qfn(idx.params, feats_d, tokens_d, ids1, mask)
+            _ = np.asarray(probs)
+            e2e.append((time.perf_counter() - t0) * 1e3)
+        out[f"e2e_ms_per_batch_b{B}"] = float(np.median(e2e))
+
+        all_ids = jnp.asarray(
+            rng.randint(0, 30522, (n_chained, B, L)).astype(np.int32)
+        )
+
+        @jax.jit
+        def chained(params, feats, tokens, all_ids, mask):
+            def body(acc, ids):
+                probs, _s, _i = qfn(params, feats, tokens, ids, mask)
+                return acc + probs.astype(jnp.float32).sum(), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), all_ids)
+            return acc
+
+        _ = float(chained(idx.params, feats_d, tokens_d, all_ids, mask))
+        best = np.inf
+        for _trial in range(2):
+            t0 = time.perf_counter()
+            _ = float(chained(idx.params, feats_d, tokens_d, all_ids, mask))
+            best = min(best, time.perf_counter() - t0)
+        out[f"device_qps_b{B}"] = float(B * n_chained / best)
+        out[f"device_ms_per_query_b{B}"] = float(
+            best * 1e3 / (B * n_chained)
+        )
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--gallery", type=int, default=1000)
@@ -126,7 +220,24 @@ def main():
     ap.add_argument("--num_frm", type=int, default=8)
     ap.add_argument("--img_size", type=int, default=224)
     ap.add_argument("--max_txt_len", type=int, default=40)
+    ap.add_argument("--batched", action="store_true",
+                    help="measure batched query_batch throughput instead "
+                         "of per-query latency")
+    ap.add_argument("--batch_sizes", type=int, nargs="+", default=[8, 16])
     args = ap.parse_args()
+    if args.batched:
+        r = measure_batched(
+            gallery=args.gallery, topk=args.topk,
+            batch_sizes=tuple(args.batch_sizes), num_frm=args.num_frm,
+            img_size=args.img_size, max_txt_len=args.max_txt_len,
+        )
+        print(json.dumps({
+            "metric": f"batched retrieval serving throughput "
+                      f"(gallery={args.gallery}, topk={args.topk})",
+            **{k: (round(v, 2) if isinstance(v, float) else v)
+               for k, v in r.items()},
+        }))
+        return
     r = measure_latency(
         gallery=args.gallery, topk=args.topk, n_queries=args.queries,
         num_frm=args.num_frm, img_size=args.img_size,

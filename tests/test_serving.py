@@ -67,6 +67,26 @@ def test_candidates_are_vtc_topk(small_index):
     assert got == want
 
 
+def test_query_batch_matches_sequential(small_index):
+    """RetrievalIndex.query_batch (one dispatch for B texts) == per-text
+    query: same ids/ranking, probs and sims allclose (the batched fn fuses
+    the whole query inside one jit, so reductions may reassociate)."""
+    idx, _ = small_index
+    texts = ["a dog runs", "the cat jumps", "hello"]
+    batched = idx.query_batch(texts, topk=3)
+    assert len(batched) == 3
+    for t, got in zip(texts, batched):
+        want = idx.query(t, topk=3)
+        assert [g[0] for g in got] == [w[0] for w in want], (t, got, want)
+        np.testing.assert_allclose(
+            [g[1] for g in got], [w[1] for w in want], rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            [g[2] for g in got], [w[2] for w in want], rtol=1e-4, atol=1e-5
+        )
+    assert idx.query_batch([], topk=3) == []
+
+
 def test_save_load_round_trip(small_index, tmp_path):
     idx, _ = small_index
     path = str(tmp_path / "bank.npz")
@@ -153,6 +173,56 @@ def test_qa_predictor_cached_video_path():
     assert feats.ndim == 3 and feats.shape[0] == 2
     for q in ("what is the man doing", "who is on the stage"):
         assert qa.predict(feats, q) == qa.predict(clips, q)
+
+
+def test_qa_predict_batch_matches_sequential():
+    """predict_batch (B questions, one dispatch) == per-question predict on
+    both the pixel and the cached-feature input, for every pooling mode."""
+    from alpro_tpu.models import build_qa_model
+    from alpro_tpu.serving.qa import VideoQAPredictor
+
+    vis = TimeSformerConfig(
+        img_size=32, patch_size=16, num_frames=2, embed_dim=16, depth=2,
+        num_heads=2, drop_path_rate=0.0,
+    )
+    bert = BertConfig(
+        vocab_size=100, hidden_size=16, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=32, fusion_layer=1,
+    )
+    model = build_qa_model(bert, vis, num_labels=5, img_size=32, num_frm=2)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 2, 32, 32, 3), jnp.float32),
+        jnp.zeros((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32),
+    )
+    ans2label = {"cooking": 0, "running": 1, "eating": 2, "red": 3, "dog": 4}
+    qa = VideoQAPredictor(
+        model, params, WordPieceTokenizer(make_test_vocab()), ans2label,
+        max_txt_len=8,
+    )
+    clips = np.random.RandomState(3).randint(0, 255, (2, 2, 32, 32, 3), np.uint8)
+    questions = ["what is the man doing", "who is on the stage", "dog"]
+
+    feats = qa.encode_video(clips)
+    for pool in ("mean", "max", "lse"):
+        batched = qa.predict_batch(feats, questions, topk=5, pool=pool)
+        assert len(batched) == len(questions)
+        for q, got in zip(questions, batched):
+            want = qa.predict(feats, q, topk=5, pool=pool)
+            assert [g[0] for g in got] == [w[0] for w in want], (pool, q)
+            np.testing.assert_allclose(
+                [g[1] for g in got], [w[1] for w in want],
+                rtol=1e-4, atol=1e-5,
+            )
+    # pixel input encodes the tower once, then matches the cached path
+    from_pixels = qa.predict_batch(clips, questions[:2], topk=3)
+    for got, q in zip(from_pixels, questions[:2]):
+        want = qa.predict(feats, q, topk=3)
+        assert [g[0] for g in got] == [w[0] for w in want]
+        np.testing.assert_allclose(
+            [g[1] for g in got], [w[1] for w in want], rtol=1e-4, atol=1e-5
+        )
+    assert qa.predict_batch(feats, []) == []
 
 
 def test_sharded_index_matches_single_device(small_index):
