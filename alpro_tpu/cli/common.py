@@ -422,6 +422,9 @@ def setup_training(cfg: Config, model: AlproModel, make_step: Callable,
         axis_names=axis_names_for_shape(shape),
     )
     state = replicate(mesh, TrainState.create(params, tx))
+    from alpro_tpu.core.misc import parse_compiler_options
+
+    copts = parse_compiler_options(cfg.get("xla_compiler_options"))
     if extra_repl_args:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -431,9 +434,10 @@ def setup_training(cfg: Config, model: AlproModel, make_step: Callable,
             make_step(model, tx),
             in_shardings=(repl, data, repl) + (repl,) * extra_repl_args,
             donate_argnums=(0,),
+            compiler_options=copts,
         )
     else:
-        step = shard_step(make_step(model, tx), mesh)
+        step = shard_step(make_step(model, tx), mesh, compiler_options=copts)
 
     if "sp" in mesh.axis_names:
         # bare-PartitionSpec sharding constraints inside the model (sp_axis)

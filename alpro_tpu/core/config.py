@@ -182,6 +182,11 @@ def shared_training_args(parser: argparse.ArgumentParser) -> argparse.ArgumentPa
                         choices=["bfloat16", "float32"])
     parser.add_argument("--profile", type=int, default=0,
                         help="trace 5 train steps with jax.profiler")
+    parser.add_argument(
+        "--xla_compiler_options", type=str, default="",
+        help="comma-separated key=value XLA backend flags applied to the "
+             "train-step compile (e.g. xla_tpu_scoped_vmem_limit_kib=65536);"
+             " invalid names fail loudly at compile time")
     from alpro_tpu.models.remat import REMAT_POLICIES
 
     parser.add_argument(

@@ -21,6 +21,32 @@ import numpy as np
 from alpro_tpu.core.logging import LOGGER
 
 
+def parse_compiler_options(spec) -> Optional[dict]:
+    """Parse an `--xla_compiler_options` value into the dict `jax.jit`'s
+    `compiler_options=` expects.
+
+    Accepts "key=value,key=value" (or an already-parsed dict, passed
+    through). Empty/None → None (no options; the default everywhere). The
+    options are applied per-computation at compile time; unknown names are
+    rejected loudly by the backend compiler — verified live on the TPU
+    remote-compile path (docs/PERF.md round 5 flag sweep)."""
+    if not spec:
+        return None
+    if isinstance(spec, dict):
+        return dict(spec) or None
+    out = {}
+    for kv in str(spec).split(","):
+        kv = kv.strip()
+        if not kv:
+            continue
+        if "=" not in kv:
+            raise ValueError(
+                f"--xla_compiler_options entry {kv!r} is not key=value")
+        k, v = kv.split("=", 1)
+        out[k.strip()] = v.strip()
+    return out or None
+
+
 def set_random_seed(seed: int) -> "np.random.Generator":
     """Seed numpy's global state (host-side data pipeline) and return a
     Generator. Device-side randomness is explicit PRNG keys throughout."""

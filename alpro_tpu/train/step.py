@@ -644,14 +644,21 @@ def make_prompter_train_step(
 # --------------------------------------------------------------------------
 # sharding
 # --------------------------------------------------------------------------
-def shard_step(step_fn: Callable, mesh: Mesh, donate_state: bool = True) -> Callable:
-    """jit a step over the mesh: state/rng replicated, batch dp-sharded."""
+def shard_step(step_fn: Callable, mesh: Mesh, donate_state: bool = True,
+               compiler_options: dict | None = None) -> Callable:
+    """jit a step over the mesh: state/rng replicated, batch dp-sharded.
+
+    compiler_options: optional XLA backend flags for this computation's
+    compile (e.g. {"xla_tpu_scoped_vmem_limit_kib": "65536"}) — exposed to
+    users as --xla_compiler_options; invalid names fail loudly at compile.
+    """
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("dp"))
     return jax.jit(
         step_fn,
         in_shardings=(repl, data, repl),
         donate_argnums=(0,) if donate_state else (),
+        compiler_options=compiler_options or None,
     )
 
 

@@ -22,7 +22,8 @@ def measure_train_step(batch=8, iters=8, num_frm=8, img_size=224, depth=12,
                        grad_ckpt=True, bert_grad_ckpt=None,
                        remat_policy="nothing", scan_blocks=True,
                        mu_dtype=None, nu_dtype=None,
-                       attn_impl="auto", temporal_attn_impl="auto") -> dict:
+                       attn_impl="auto", temporal_attn_impl="auto",
+                       compiler_options=None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -71,7 +72,12 @@ def measure_train_step(batch=8, iters=8, num_frm=8, img_size=224, depth=12,
     )
     tx = build_optimizer(get_lr_schedule("linear", 1e-4, 1000), grad_norm=5.0,
                          mu_dtype=mu_dtype, nu_dtype=nu_dtype)
-    step = jax.jit(make_retrieval_train_step(model, tx), donate_argnums=(0,))
+    # compiler_options: XLA/TPU backend flags applied to THIS computation's
+    # remote compile (verified live: invalid names are rejected by the
+    # compile helper, so accepted ones are genuinely parsed). Used by the
+    # round-5 flag sweep (docs/PERF.md).
+    step = jax.jit(make_retrieval_train_step(model, tx), donate_argnums=(0,),
+                   compiler_options=compiler_options or None)
     state = TrainState.create(params, tx)
     key = jax.random.PRNGKey(0)
 
@@ -123,17 +129,25 @@ def main():
                     help="spatial attention lowering (fused_qkv forces the "
                          "Pallas kernel in training)")
     ap.add_argument("--temporal_attn_impl", type=str, default="auto")
+    ap.add_argument("--compiler_options", type=str, default="",
+                    help="comma-separated key=value XLA compiler options, "
+                         "e.g. xla_tpu_scoped_vmem_limit_kib=65536")
     args = ap.parse_args()
+    copts = dict(kv.split("=", 1) for kv in args.compiler_options.split(",")
+                 if "=" in kv) or None
     r = measure_train_step(
         batch=args.batch, iters=args.iters, num_frm=args.num_frm,
         img_size=args.img_size, depth=args.depth, grad_ckpt=bool(args.grad_ckpt),
         remat_policy=args.remat_policy, scan_blocks=bool(args.scan),
         mu_dtype=args.mu_dtype, nu_dtype=args.nu_dtype,
         attn_impl=args.attn_impl, temporal_attn_impl=args.temporal_attn_impl,
+        compiler_options=copts,
     )
     print(json.dumps({
         "metric": f"train clips/s (retrieval step, B={args.batch}, VTC+VTM, "
-                  f"bf16, remat={args.remat_policy})",
+                  f"bf16, remat={args.remat_policy}"
+                  + (f", copts={args.compiler_options}" if copts else "")
+                  + ")",
         "value": round(r["clips_per_sec"], 2),
         "unit": "clips/s",
         "ms_per_step": round(r["ms_per_step"], 1),

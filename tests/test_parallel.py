@@ -98,6 +98,43 @@ def test_sharded_step_matches_single_device(tiny_model):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_compiler_options_plumbing(tiny_model):
+    """--xla_compiler_options parses to a dict and shard_step compiles with
+    it. Option names are validated per-backend at compile time (probed
+    live: the CPU compiler rejects TPU-namespace names like
+    xla_tpu_scoped_vmem_limit_kib with "No such compile option", the TPU
+    remote compiler accepts them) — so the portable test uses a generic
+    DebugOptions name, and a TPU-only name must fail LOUDLY here on CPU
+    rather than be silently dropped."""
+    from alpro_tpu.core.misc import parse_compiler_options
+
+    assert parse_compiler_options("") is None
+    assert parse_compiler_options(None) is None
+    assert parse_compiler_options("a=1, b=True") == {"a": "1", "b": "True"}
+    assert parse_compiler_options({"k": "v"}) == {"k": "v"}
+    with pytest.raises(ValueError):
+        parse_compiler_options("not_key_value")
+
+    model, params, batch = tiny_model
+    tx = build_optimizer(get_lr_schedule("constant", 1e-3, 100), grad_norm=5.0)
+    step = make_retrieval_train_step(model, tx)
+    mesh = make_mesh()
+    state = replicate(mesh, TrainState.create(params, tx))
+    sstep = shard_step(
+        step, mesh, donate_state=False,
+        compiler_options={"xla_embed_ir_in_executable": "True"},
+    )
+    _, m = sstep(state, shard_batch(mesh, batch), jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+
+    bad = shard_step(
+        step, mesh, donate_state=False,
+        compiler_options={"xla_tpu_scoped_vmem_limit_kib": "65536"},
+    )
+    with pytest.raises(Exception, match="compile option|INVALID_ARGUMENT"):
+        bad(state, shard_batch(mesh, batch), jax.random.PRNGKey(0))
+
+
 def test_training_reduces_loss(tiny_model):
     model, params, batch = tiny_model
     sched = get_lr_schedule("constant", 5e-4, 1000)
